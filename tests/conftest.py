@@ -1,0 +1,21 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Real multi-chip TPU hardware is unavailable in CI; sharding correctness is
+validated on XLA's host-platform virtual devices (same SPMD partitioner).
+bench.py runs separately on the real TPU chip.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/zktpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")

@@ -1,0 +1,207 @@
+"""Vectorized BN254 limb arithmetic in JAX (TPU-native design).
+
+Replaces gnark-crypto's x86-64/arm64 Montgomery assembly kernels
+(/root/reference/go.mod:9, SURVEY.md N2) with a formulation that maps onto the
+TPU's 32-bit integer vector lanes:
+
+  * A field element is 16 little-endian 16-bit digits stored in a ``uint32``
+    array of shape ``(..., 16)``.  Digit products (16x16 -> 32) are exact in
+    uint32; column sums are split lo/hi-16 before accumulation so no
+    intermediate ever exceeds 32 bits.  TPUs have no 64-bit integer multiplier,
+    so this radix-2^16 carry-save schoolbook + per-limb Montgomery REDC is the
+    natural "assembly" here.
+  * Everything is element-wise over arbitrary leading batch dims: the same code
+    runs one element or a million, and XLA fuses the whole chain into a few
+    vector loops.
+
+All state-carrying values are kept in Montgomery form (x * 2^256 mod p) except
+where explicitly noted.  Host-side conversions live in ``limb.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import LIMB_BITS, LIMB_MASK, NLIMBS, FieldSpec
+
+_U32 = jnp.uint32
+MASK = np.uint32(LIMB_MASK)
+
+
+def _stack_last(parts):
+    return jnp.stack(parts, axis=-1)
+
+
+class JnpField:
+    """Batched modular arithmetic over ``spec.modulus`` in 16-bit limbs."""
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        self.p_limbs = spec.p_limbs  # np.uint32 (16,)
+        self.ninv = np.uint32(spec.mont_ninv)
+        self.r2_limbs = spec.r2_limbs
+        self.one_mont = spec.one_mont_limbs
+        self.zero = spec.zero_limbs
+
+    # ------------------------------------------------------------------ utils
+    def const(self, value: int, mont: bool = True) -> np.ndarray:
+        """Host constant as limbs (Montgomery by default)."""
+        from .params import int_to_limbs
+
+        v = self.spec.to_mont(value % self.spec.modulus) if mont else value % self.spec.modulus
+        return int_to_limbs(v)
+
+    def broadcast_const(self, value: int, batch_shape, mont: bool = True):
+        c = jnp.asarray(self.const(value, mont=mont), dtype=_U32)
+        return jnp.broadcast_to(c, tuple(batch_shape) + (NLIMBS,))
+
+    # --------------------------------------------------------- carry chains
+    def _normalize(self, t):
+        """Propagate carries over 16 digits (< 2^32 each); value must fit 256 bits."""
+        out = []
+        carry = jnp.zeros(t.shape[:-1], dtype=_U32)
+        for k in range(NLIMBS):
+            v = t[..., k] + carry
+            out.append(v & MASK)
+            carry = v >> LIMB_BITS
+        return _stack_last(out)
+
+    def _sub_limbs(self, a, b):
+        """a - b for canonical digit arrays with value(a) >= value(b)."""
+        out = []
+        borrow = jnp.zeros(a.shape[:-1], dtype=_U32)
+        top = np.uint32(1 << LIMB_BITS)
+        for k in range(NLIMBS):
+            v = a[..., k] + top - b[..., k] - borrow
+            out.append(v & MASK)
+            borrow = np.uint32(1) - (v >> LIMB_BITS)
+        return _stack_last(out)
+
+    def _geq_p(self, a):
+        """a >= p, for canonical a (lexicographic from top limb)."""
+        p = self.p_limbs
+        gt = jnp.zeros(a.shape[:-1], dtype=jnp.bool_)
+        eq = jnp.ones(a.shape[:-1], dtype=jnp.bool_)
+        for k in range(NLIMBS - 1, -1, -1):
+            pk = np.uint32(p[k])
+            gt = gt | (eq & (a[..., k] > pk))
+            eq = eq & (a[..., k] == pk)
+        return gt | eq
+
+    def _cond_sub_p(self, a):
+        """Reduce canonical a < 2p into [0, p)."""
+        p = jnp.broadcast_to(jnp.asarray(self.p_limbs, dtype=_U32), a.shape)
+        diff = self._sub_limbs(a, p)
+        return jnp.where(self._geq_p(a)[..., None], diff, a)
+
+    # ------------------------------------------------------------ public ops
+    def add(self, a, b):
+        return self._cond_sub_p(self._normalize(a + b))
+
+    def sub(self, a, b):
+        p = jnp.broadcast_to(jnp.asarray(self.p_limbs, dtype=_U32), b.shape)
+        return self.add(a, self._sub_limbs(p, b))
+
+    def neg(self, b):
+        p = jnp.broadcast_to(jnp.asarray(self.p_limbs, dtype=_U32), b.shape)
+        return self._cond_sub_p(self._sub_limbs(p, b))
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=-1)
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=-1)
+
+    def select(self, cond, a, b):
+        """cond: bool (...,); a, b: (..., 16)."""
+        return jnp.where(cond[..., None], a, b)
+
+    # -------------------------------------------------------- multiplication
+    def _mul_acc(self, a, b):
+        """Column-accumulated 512-bit product; 32 digits, each < 2^22."""
+        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        t = jnp.zeros(shape + (2 * NLIMBS,), dtype=_U32)
+        for i in range(NLIMBS):
+            p = a[..., i : i + 1] * b  # exact: (2^16-1)^2 < 2^32
+            lo = p & MASK
+            hi = p >> LIMB_BITS
+            t = t.at[..., i : i + NLIMBS].add(lo)
+            t = t.at[..., i + 1 : i + NLIMBS + 1].add(hi)
+        return t
+
+    def mont_reduce(self, t):
+        """Montgomery REDC of a column-accumulated 32-digit value -> (...,16) canonical."""
+        pl = self.p_limbs
+        for i in range(NLIMBS):
+            m = (t[..., i] * self.ninv) & MASK
+            mp = m[..., None] * jnp.asarray(pl, dtype=_U32)
+            lo = mp & MASK
+            hi = mp >> LIMB_BITS
+            t = t.at[..., i : i + NLIMBS].add(lo)
+            t = t.at[..., i + 1 : i + NLIMBS + 1].add(hi)
+            # digit i is now = 0 mod 2^16; fold its carry into digit i+1
+            t = t.at[..., i + 1].add(t[..., i] >> LIMB_BITS)
+        res = self._normalize(t[..., NLIMBS:])
+        return self._cond_sub_p(res)
+
+    def mont_mul(self, a, b):
+        """(a*R)(b*R) -> a*b*R mod p."""
+        return self.mont_reduce(self._mul_acc(a, b))
+
+    def mont_sqr(self, a):
+        return self.mont_mul(a, a)
+
+    def to_mont(self, a):
+        """Canonical integer limbs -> Montgomery form."""
+        return self.mont_mul(a, jnp.asarray(self.r2_limbs, dtype=_U32))
+
+    def from_mont(self, a):
+        """Montgomery form -> canonical integer limbs (REDC by 1)."""
+        shape = a.shape[:-1] + (2 * NLIMBS,)
+        t = jnp.zeros(shape, dtype=_U32).at[..., :NLIMBS].add(a)
+        return self.mont_reduce(t)
+
+    # ----------------------------------------------------------------- power
+    def pow_const(self, a, e: int):
+        """a^e for a *static* exponent, via lax.scan over the exponent bits."""
+        if e == 0:
+            return jnp.broadcast_to(jnp.asarray(self.one_mont, dtype=_U32), a.shape)
+        nbits = e.bit_length()
+        bits = np.array([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=np.uint32)
+
+        def step(acc, bit):
+            acc = self.mont_sqr(acc)
+            withmul = self.mont_mul(acc, a)
+            return jnp.where(jnp.asarray(bit, dtype=jnp.bool_)[..., None], withmul, acc), None
+
+        init = jnp.broadcast_to(jnp.asarray(self.one_mont, dtype=_U32), a.shape)
+        out, _ = jax.lax.scan(step, init, jnp.asarray(bits, dtype=jnp.bool_))
+        return out
+
+    def inv(self, a):
+        """Batched inversion by Fermat (a^(p-2)); inv(0) = 0."""
+        return self.pow_const(a, self.spec.modulus - 2)
+
+    # ---------------------------------------------- small-scalar convenience
+    def mul_small(self, a, k: int):
+        """a * k for tiny static k >= 0 via additions (k <= 4 typical)."""
+        if k == 0:
+            return jnp.zeros_like(a)
+        acc = a
+        for _ in range(k - 1):
+            acc = self.add(acc, a)
+        return acc
+
+
+@functools.lru_cache(maxsize=None)
+def field(spec_name: str) -> JnpField:
+    from .params import FP, FR
+
+    return JnpField({"fp": FP, "fr": FR}[spec_name])
