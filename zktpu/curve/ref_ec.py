@@ -1,0 +1,508 @@
+"""Pure-Python BN254 curve + pairing reference implementation (cold path).
+
+This re-owns the gnark-crypto curve layer (SURVEY.md §2.2 N2; reference pins
+gnark-crypto v0.14.0 at /root/reference/go.mod:9) for the parts that do NOT run
+on TPU: Groth16 trusted setup (keygen, offline) and proof verification (a few
+pairings, milliseconds-to-seconds, latency-irrelevant server side — reference
+analog: libraries/verifier). The TPU hot path (MSM/NTT) lives in
+zktpu.curve.jnp_curve / zktpu.msm / zktpu.ntt and is cross-checked against this
+module in tests.
+
+Tower: Fp2 = Fp[u]/(u^2+1); Fp6 = Fp2[v]/(v^3 - xi), xi = 9+u;
+Fp12 = Fp6[w]/(w^2 - v).  Pairing: optimal ate via a py_ecc-style affine
+Miller loop run over E(Fp12) (G2 points lifted through the sextic twist),
+with naive final exponentiation f^((p^12-1)/r) — simple, auditable, and fast
+enough for the cold path.
+"""
+
+from __future__ import annotations
+
+from ..field.params import P_FP as P, P_FR as R_ORDER, BN254_X
+
+# ----------------------------------------------------------------------- Fp2
+
+
+class Fp2:
+    """a0 + a1*u with u^2 = -1, coefficients in Fp."""
+
+    __slots__ = ("c0", "c1")
+
+    def __init__(self, c0: int, c1: int = 0):
+        self.c0 = c0 % P
+        self.c1 = c1 % P
+
+    def __add__(self, o):
+        return Fp2(self.c0 + o.c0, self.c1 + o.c1)
+
+    def __sub__(self, o):
+        return Fp2(self.c0 - o.c0, self.c1 - o.c1)
+
+    def __neg__(self):
+        return Fp2(-self.c0, -self.c1)
+
+    def __mul__(self, o):
+        if isinstance(o, int):
+            return Fp2(self.c0 * o, self.c1 * o)
+        a0, a1, b0, b1 = self.c0, self.c1, o.c0, o.c1
+        t0 = a0 * b0
+        t1 = a1 * b1
+        return Fp2(t0 - t1, (a0 + a1) * (b0 + b1) - t0 - t1)
+
+    __rmul__ = __mul__
+
+    def sqr(self):
+        a0, a1 = self.c0, self.c1
+        return Fp2((a0 + a1) * (a0 - a1), 2 * a0 * a1)
+
+    def conj(self):
+        return Fp2(self.c0, -self.c1)
+
+    def inv(self):
+        norm = self.c0 * self.c0 + self.c1 * self.c1
+        ninv = pow(norm, -1, P)
+        return Fp2(self.c0 * ninv, -self.c1 * ninv)
+
+    def is_zero(self):
+        return self.c0 == 0 and self.c1 == 0
+
+    def __eq__(self, o):
+        return self.c0 == o.c0 and self.c1 == o.c1
+
+    def __hash__(self):
+        return hash((self.c0, self.c1))
+
+    def __repr__(self):
+        return f"Fp2({self.c0},{self.c1})"
+
+    @staticmethod
+    def zero():
+        return Fp2(0, 0)
+
+    @staticmethod
+    def one():
+        return Fp2(1, 0)
+
+
+XI = Fp2(9, 1)  # sextic-twist non-residue
+
+# ----------------------------------------------------------------------- Fp6
+
+
+class Fp6:
+    """c0 + c1*v + c2*v^2 with v^3 = xi, coefficients in Fp2."""
+
+    __slots__ = ("c0", "c1", "c2")
+
+    def __init__(self, c0: Fp2, c1: Fp2, c2: Fp2):
+        self.c0, self.c1, self.c2 = c0, c1, c2
+
+    def __add__(self, o):
+        return Fp6(self.c0 + o.c0, self.c1 + o.c1, self.c2 + o.c2)
+
+    def __sub__(self, o):
+        return Fp6(self.c0 - o.c0, self.c1 - o.c1, self.c2 - o.c2)
+
+    def __neg__(self):
+        return Fp6(-self.c0, -self.c1, -self.c2)
+
+    def __mul__(self, o):
+        a0, a1, a2 = self.c0, self.c1, self.c2
+        b0, b1, b2 = o.c0, o.c1, o.c2
+        t0, t1, t2 = a0 * b0, a1 * b1, a2 * b2
+        c0 = t0 + XI * ((a1 + a2) * (b1 + b2) - t1 - t2)
+        c1 = (a0 + a1) * (b0 + b1) - t0 - t1 + XI * t2
+        c2 = (a0 + a2) * (b0 + b2) - t0 - t2 + t1
+        return Fp6(c0, c1, c2)
+
+    def mul_by_v(self):  # * v
+        return Fp6(XI * self.c2, self.c0, self.c1)
+
+    def sqr(self):
+        return self * self
+
+    def inv(self):
+        a0, a1, a2 = self.c0, self.c1, self.c2
+        t0 = a0.sqr() - XI * (a1 * a2)
+        t1 = XI * a2.sqr() - a0 * a1
+        t2 = a1.sqr() - a0 * a2
+        factor = (a0 * t0 + XI * (a2 * t1) + XI * (a1 * t2)).inv()
+        return Fp6(t0 * factor, t1 * factor, t2 * factor)
+
+    def is_zero(self):
+        return self.c0.is_zero() and self.c1.is_zero() and self.c2.is_zero()
+
+    def __eq__(self, o):
+        return self.c0 == o.c0 and self.c1 == o.c1 and self.c2 == o.c2
+
+    def __hash__(self):
+        return hash((self.c0, self.c1, self.c2))
+
+    @staticmethod
+    def zero():
+        return Fp6(Fp2.zero(), Fp2.zero(), Fp2.zero())
+
+    @staticmethod
+    def one():
+        return Fp6(Fp2.one(), Fp2.zero(), Fp2.zero())
+
+
+# ---------------------------------------------------------------------- Fp12
+
+
+class Fp12:
+    """a + b*w with w^2 = v, coefficients in Fp6."""
+
+    __slots__ = ("c0", "c1")
+
+    def __init__(self, c0: Fp6, c1: Fp6):
+        self.c0, self.c1 = c0, c1
+
+    def __add__(self, o):
+        return Fp12(self.c0 + o.c0, self.c1 + o.c1)
+
+    def __sub__(self, o):
+        return Fp12(self.c0 - o.c0, self.c1 - o.c1)
+
+    def __neg__(self):
+        return Fp12(-self.c0, -self.c1)
+
+    def __mul__(self, o):
+        a0, a1, b0, b1 = self.c0, self.c1, o.c0, o.c1
+        t0 = a0 * b0
+        t1 = a1 * b1
+        return Fp12(t0 + t1.mul_by_v(), (a0 + a1) * (b0 + b1) - t0 - t1)
+
+    def sqr(self):
+        return self * self
+
+    def inv(self):
+        # (a - bw)(a + bw) = a^2 - b^2 v  in Fp6
+        factor = (self.c0 * self.c0 - (self.c1 * self.c1).mul_by_v()).inv()
+        return Fp12(self.c0 * factor, -(self.c1 * factor))
+
+    def pow(self, e: int):
+        if e < 0:
+            return self.inv().pow(-e)
+        acc = Fp12.one()
+        base = self
+        while e:
+            if e & 1:
+                acc = acc * base
+            base = base.sqr()
+            e >>= 1
+        return acc
+
+    def conj(self):  # conjugation over Fp6 (the w -> -w automorphism)
+        return Fp12(self.c0, -self.c1)
+
+    def __eq__(self, o):
+        return self.c0 == o.c0 and self.c1 == o.c1
+
+    def __hash__(self):
+        return hash((self.c0, self.c1))
+
+    def is_one(self):
+        return self == Fp12.one()
+
+    def is_zero(self):
+        return self.c0.is_zero() and self.c1.is_zero()
+
+    @staticmethod
+    def zero():
+        return Fp12(Fp6.zero(), Fp6.zero())
+
+    @staticmethod
+    def one():
+        return Fp12(Fp6.one(), Fp6.zero())
+
+
+def fp12_from_fp(x: int) -> Fp12:
+    return Fp12(Fp6(Fp2(x), Fp2.zero(), Fp2.zero()), Fp6.zero())
+
+
+# ------------------------------------------------------------ generic points
+# Jacobian coordinates over a generic field element type F supporting
+# +,-,*,sqr,inv,is_zero.  A point is (X, Y, Z); infinity is Z == 0.
+
+
+class Point:
+    __slots__ = ("x", "y", "z", "b")
+
+    def __init__(self, x, y, z, b):
+        self.x, self.y, self.z, self.b = x, y, z, b
+
+    def is_inf(self):
+        return self.z.is_zero() if hasattr(self.z, "is_zero") else self.z == 0
+
+
+def _fzero_like(v):
+    return v * 0 if isinstance(v, int) else type(v).zero()
+
+
+def _fone_like(v):
+    return v * 0 + 1 if isinstance(v, int) else type(v).one()
+
+
+class Curve:
+    """Short Weierstrass y^2 = x^3 + b over a field given by example element ops."""
+
+    def __init__(self, b, field_one, field_zero):
+        self.b = b
+        self.one = field_one
+        self.zero = field_zero
+
+    def infinity(self) -> Point:
+        return Point(self.one, self.one, self.zero, self.b)
+
+    def from_affine(self, x, y) -> Point:
+        return Point(x, y, self.one, self.b)
+
+    def to_affine(self, p: Point):
+        if self._is_inf(p):
+            return None
+        zinv = self._inv(p.z)
+        zi2 = self._mul(zinv, zinv)
+        return self._mul(p.x, zi2), self._mul(p.y, self._mul(zi2, zinv))
+
+    # field-op shims working for both int (mod P) and tower elements
+    def _mul(self, a, b):
+        return (a * b) % P if isinstance(a, int) else a * b
+
+    def _add(self, a, b):
+        return (a + b) % P if isinstance(a, int) else a + b
+
+    def _sub(self, a, b):
+        return (a - b) % P if isinstance(a, int) else a - b
+
+    def _inv(self, a):
+        return pow(a, -1, P) if isinstance(a, int) else a.inv()
+
+    def _is_zero(self, a):
+        return a % P == 0 if isinstance(a, int) else a.is_zero()
+
+    def _is_inf(self, p: Point):
+        return self._is_zero(p.z)
+
+    def double(self, p: Point) -> Point:
+        # dbl-2009-l formulas (a = 0), generic over int / tower fields
+        if self._is_inf(p):
+            return p
+        m, a, s = self._mul, self._add, self._sub
+        xx = m(p.x, p.x)
+        yy = m(p.y, p.y)
+        yyyy = m(yy, yy)
+        s2 = m(p.x, yy)
+        s4 = a(a(s2, s2), a(s2, s2))  # 4*x*y^2
+        mm = a(a(xx, xx), xx)  # 3*x^2
+        x3 = s(m(mm, mm), a(s4, s4))
+        y8 = a(a(yyyy, yyyy), a(yyyy, yyyy))
+        y3 = s(m(mm, s(s4, x3)), a(y8, y8))
+        z3 = m(a(p.y, p.y), p.z)
+        return Point(x3, y3, z3, p.b)
+
+    def add(self, p: Point, q: Point) -> Point:
+        if self._is_inf(p):
+            return q
+        if self._is_inf(q):
+            return p
+        m, s, a = self._mul, self._sub, self._add
+        z1z1 = m(p.z, p.z)
+        z2z2 = m(q.z, q.z)
+        u1 = m(p.x, z2z2)
+        u2 = m(q.x, z1z1)
+        s1 = m(p.y, m(z2z2, q.z))
+        s2 = m(q.y, m(z1z1, p.z))
+        if self._is_zero(s(u1, u2)):
+            if self._is_zero(s(s1, s2)):
+                return self.double(p)
+            return self.infinity()
+        h = s(u2, u1)
+        i = m(a(h, h), a(h, h))
+        j = m(h, i)
+        r = a(s(s2, s1), s(s2, s1))
+        v = m(u1, i)
+        x3 = s(s(m(r, r), j), a(v, v))
+        y3 = s(m(r, s(v, x3)), a(m(s1, j), m(s1, j)))
+        zz = m(p.z, q.z)
+        z3 = m(a(zz, zz), h)  # 2*Z1*Z2*H (matches I=(2H)^2, r=2(S2-S1))
+        return Point(x3, y3, z3, p.b)
+
+    def neg(self, p: Point) -> Point:
+        if isinstance(p.y, int):
+            return Point(p.x, (-p.y) % P, p.z, p.b)
+        return Point(p.x, -p.y, p.z, p.b)
+
+    def mul(self, p: Point, k: int) -> Point:
+        k %= R_ORDER
+        acc = self.infinity()
+        base = p
+        while k:
+            if k & 1:
+                acc = self.add(acc, base)
+            base = self.double(base)
+            k >>= 1
+        return acc
+
+    def eq(self, p: Point, q: Point) -> bool:
+        if self._is_inf(p) or self._is_inf(q):
+            return self._is_inf(p) and self._is_inf(q)
+        z1z1 = self._mul(p.z, p.z)
+        z2z2 = self._mul(q.z, q.z)
+        if not self._is_zero(self._sub(self._mul(p.x, z2z2), self._mul(q.x, z1z1))):
+            return False
+        return self._is_zero(
+            self._sub(
+                self._mul(p.y, self._mul(z2z2, q.z)), self._mul(q.y, self._mul(z1z1, p.z))
+            )
+        )
+
+    def is_on_curve(self, p: Point) -> bool:
+        if self._is_inf(p):
+            return True
+        aff = self.to_affine(p)
+        x, y = aff
+        lhs = self._mul(y, y)
+        rhs = self._add(self._mul(x, self._mul(x, x)), self.b)
+        return self._is_zero(self._sub(lhs, rhs))
+
+
+# concrete curves
+G1_CURVE = Curve(3, 1, 0)
+B2 = XI.inv() * 3  # twist curve coefficient b' = 3/xi
+G2_CURVE = Curve(B2, Fp2.one(), Fp2.zero())
+B12 = fp12_from_fp(3)
+G12_CURVE = Curve(B12, Fp12.one(), Fp12.zero())
+
+G1_GEN = G1_CURVE.from_affine(1, 2)
+G2_GEN = G2_CURVE.from_affine(
+    Fp2(
+        10857046999023057135944570762232829481370756359578518086990519993285655852781,
+        11559732032986387107991004021392285783925812861821192530917403151452391805634,
+    ),
+    Fp2(
+        8495653923123431417604973247489272438418190587263600148770280649306958101930,
+        4082367875863433681332203403145435568316851327593401208105741076214120093531,
+    ),
+)
+
+# ----------------------------------------------------------------- twist map
+
+
+def twist_to_fp12(q: Point) -> Point:
+    """Lift a G2 (twist) point into E(Fp12): (x', y') -> (x'*w^2, y'*w^3), w^2 = v."""
+    aff = G2_CURVE.to_affine(q)
+    if aff is None:
+        return G12_CURVE.infinity()
+    x2, y2 = aff
+    x12 = Fp12(Fp6(Fp2.zero(), x2, Fp2.zero()), Fp6.zero())
+    y12 = Fp12(Fp6.zero(), Fp6(Fp2.zero(), y2, Fp2.zero()))
+    return G12_CURVE.from_affine(x12, y12)
+
+
+def g1_to_fp12(p: Point) -> Point:
+    aff = G1_CURVE.to_affine(p)
+    if aff is None:
+        return G12_CURVE.infinity()
+    return G12_CURVE.from_affine(fp12_from_fp(aff[0]), fp12_from_fp(aff[1]))
+
+
+# -------------------------------------------------------------------- pairing
+
+ATE_LOOP_COUNT = 6 * BN254_X + 2  # 29793968203157093288, bit_length 65
+
+
+def _linefunc(p1_aff, p2_aff, t_aff) -> Fp12:
+    """Evaluate the line through affine p1, p2 (on E(Fp12)) at affine point t."""
+    x1, y1 = p1_aff
+    x2, y2 = p2_aff
+    xt, yt = t_aff
+    if not (x1 - x2).is_zero():
+        m = (y2 - y1) * (x2 - x1).inv()
+        return m * (xt - x1) - (yt - y1)
+    if y1 == y2:
+        m = (x1 * x1 + x1 * x1 + x1 * x1) * (y1 + y1).inv()
+        return m * (xt - x1) - (yt - y1)
+    return xt - x1
+
+
+def miller_loop(q12: Point, p12: Point) -> Fp12:
+    """Optimal ate Miller loop (affine, py_ecc style) + final exponentiation."""
+    if G12_CURVE._is_inf(q12) or G12_CURVE._is_inf(p12):
+        return Fp12.one()
+    q_aff = G12_CURVE.to_affine(q12)
+    t_aff = G12_CURVE.to_affine(p12)
+    r = q12
+    f = Fp12.one()
+    nbits = ATE_LOOP_COUNT.bit_length()
+    for i in range(nbits - 2, -1, -1):
+        r_aff = G12_CURVE.to_affine(r)
+        f = f * f * _linefunc(r_aff, r_aff, t_aff)
+        r = G12_CURVE.double(r)
+        if (ATE_LOOP_COUNT >> i) & 1:
+            f = f * _linefunc(G12_CURVE.to_affine(r), q_aff, t_aff)
+            r = G12_CURVE.add(r, q12)
+    qx, qy = q_aff
+    q1 = (qx.pow(P), qy.pow(P))  # Frobenius
+    nq2 = (q1[0].pow(P), -(q1[1].pow(P)))
+    f = f * _linefunc(G12_CURVE.to_affine(r), q1, t_aff)
+    r = G12_CURVE.add(r, G12_CURVE.from_affine(*q1))
+    f = f * _linefunc(G12_CURVE.to_affine(r), nq2, t_aff)
+    return f
+
+
+FINAL_EXP = (P**12 - 1) // R_ORDER
+
+
+def pairing(p: Point, q: Point) -> Fp12:
+    """e(P in G1, Q in G2) with full final exponentiation."""
+    return miller_loop(twist_to_fp12(q), g1_to_fp12(p)).pow(FINAL_EXP)
+
+
+def multi_pairing_is_one(pairs) -> bool:
+    """prod e(Pi, Qi) == 1, sharing one final exponentiation."""
+    f = Fp12.one()
+    for p, q in pairs:
+        if G1_CURVE._is_inf(p) or G2_CURVE._is_inf(q):
+            continue
+        f = f * miller_loop(twist_to_fp12(q), g1_to_fp12(p))
+    return f.pow(FINAL_EXP).is_one()
+
+
+# ----------------------------------------------------- fixed-base multiscalar
+
+
+class FixedBaseTable:
+    """Windowed fixed-base table: 8-bit windows, 32 tables of 255 points.
+
+    Used by keygen to compute tens of thousands of k*G for the same base
+    (CRS generation — reference analog: gnark's groth16.Setup MSM precompute,
+    SURVEY.md §3.1)."""
+
+    def __init__(self, curve: Curve, base: Point, max_bits: int = 256, wbits: int = 8):
+        self.curve = curve
+        self.wbits = wbits
+        nwin = (max_bits + wbits - 1) // wbits
+        self.tables = []
+        win_base = base
+        for _ in range(nwin):
+            row = [curve.infinity()]
+            acc = curve.infinity()
+            for _ in range((1 << wbits) - 1):
+                acc = curve.add(acc, win_base)
+                row.append(acc)
+            self.tables.append(row)
+            for _ in range(wbits):
+                win_base = curve.double(win_base)
+
+    def mul(self, k: int) -> Point:
+        k %= R_ORDER
+        acc = self.curve.infinity()
+        w = 0
+        mask = (1 << self.wbits) - 1
+        while k:
+            d = k & mask
+            if d:
+                acc = self.curve.add(acc, self.tables[w][d])
+            k >>= self.wbits
+            w += 1
+        return acc
