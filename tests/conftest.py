@@ -3,11 +3,17 @@
 Real multi-chip TPU hardware is unavailable in CI; sharding correctness is
 validated on XLA's host-platform virtual devices (same SPMD partitioner).
 bench.py runs separately on the real TPU chip.
+
+NOTE: the environment forces JAX_PLATFORMS=axon (remote-TPU tunnel) and
+re-applies it at interpreter startup, so plain env vars are not enough —
+jax.config.update after import is the reliable override.  Eager ops on the
+axon platform cost ~4 ms each (network round trip), which would make the
+suite minutes-slow; CPU keeps it fast and deterministic.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +22,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/zktpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")

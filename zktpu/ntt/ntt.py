@@ -1,0 +1,132 @@
+"""Radix-2 NTT over BN254 Fr in 16-bit limb lanes (TPU-native).
+
+Re-owns gnark-crypto's radix-2 FFT used by Groth16's quotient-polynomial step
+(reference: [dep] go.mod:9; call site SURVEY.md §3.3 hot loop ②).  Design:
+
+  * Iterative Cooley-Tukey DIT after a static bit-reversal gather — the
+    permutation is a compile-time constant so XLA emits one gather; every
+    butterfly stage is a reshape + one batched Montgomery mul + add/sub over
+    (N/2, 16)-limb lanes.  No data-dependent control flow, fully jit-able.
+  * Twiddle tables per stage are host-precomputed (Montgomery form) numpy
+    constants baked into the jaxpr.
+  * Coset evaluation (for H = (AB - C)/Z on the shifted domain, where
+    Z(g w^i) = g^N - 1 is constant) via element-wise power-table muls.
+
+Domain sizes are powers of two up to 2^28 (Fr two-adicity, params.py:36-44).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field.jnp_field import JnpField
+from ..field.params import (
+    FR,
+    FR_ROOT_OF_UNITY,
+    FR_TWO_ADICITY,
+    NLIMBS,
+    P_FR,
+    int_to_limbs,
+)
+
+F = JnpField(FR)
+
+
+def _bit_reverse_perm(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    for b in range(bits):
+        out |= ((idx >> b) & 1) << (bits - 1 - b)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+class Domain:
+    """Evaluation domain of size N (power of two) with precomputed tables."""
+
+    def __init__(self, n: int, coset_gen: int = 5):
+        assert n & (n - 1) == 0 and n >= 2
+        logn = n.bit_length() - 1
+        assert logn <= FR_TWO_ADICITY
+        self.n = n
+        self.logn = logn
+        self.omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_TWO_ADICITY - logn), P_FR)
+        self.omega_inv = pow(self.omega, -1, P_FR)
+        self.n_inv = pow(n, -1, P_FR)
+        self.coset_gen = coset_gen
+        self.perm = _bit_reverse_perm(n)
+
+        def stage_twiddles(w):
+            # stage with half-block m: tw[k] = w^(k * N/(2m)), k < m
+            stages = []
+            for s in range(logn):
+                m = 1 << s
+                step = n // (2 * m)
+                tws = np.stack(
+                    [int_to_limbs(FR.to_mont(pow(w, k * step, P_FR))) for k in range(m)]
+                )
+                stages.append(tws.astype(np.uint32))
+            return stages
+
+        self.tw_fwd = stage_twiddles(self.omega)
+        self.tw_inv = stage_twiddles(self.omega_inv)
+
+        def power_table(base):
+            out = np.empty((n, NLIMBS), dtype=np.uint32)
+            acc = 1
+            for i in range(n):
+                out[i] = int_to_limbs(FR.to_mont(acc))
+                acc = acc * base % P_FR
+            return out
+
+        self.coset_pows = power_table(coset_gen)
+        self.coset_pows_inv = power_table(pow(coset_gen, -1, P_FR))
+        self.n_inv_mont = int_to_limbs(FR.to_mont(self.n_inv)).astype(np.uint32)
+        # Z_H(coset point) = g^N - 1, constant across the coset
+        z_coset = (pow(coset_gen, n, P_FR) - 1) % P_FR
+        self.z_coset_inv_mont = int_to_limbs(
+            FR.to_mont(pow(z_coset, -1, P_FR))
+        ).astype(np.uint32)
+
+
+def _core(x, twiddles, perm):
+    """x: (..., N, 16) Montgomery Fr -> NTT along axis -2 (natural in/out)."""
+    n = x.shape[-2]
+    x = jnp.take(x, jnp.asarray(perm), axis=-2)
+    lead = x.shape[:-2]
+    for tws in twiddles:
+        m = tws.shape[0]
+        xr = x.reshape(lead + (n // (2 * m), 2, m, NLIMBS))
+        u = xr[..., 0, :, :]
+        t = F.mont_mul(xr[..., 1, :, :], jnp.asarray(tws))
+        x = jnp.stack([F.add(u, t), F.sub(u, t)], axis=-3).reshape(
+            lead + (n, NLIMBS)
+        )
+    return x
+
+
+def ntt(x, domain: Domain):
+    """Forward NTT: coefficients -> evaluations at {w^i} (natural order)."""
+    return _core(x, domain.tw_fwd, domain.perm)
+
+
+def intt(x, domain: Domain):
+    """Inverse NTT: evaluations -> coefficients, including the 1/N scale."""
+    y = _core(x, domain.tw_inv, domain.perm)
+    return F.mont_mul(y, jnp.asarray(domain.n_inv_mont))
+
+
+def coset_ntt(coeffs, domain: Domain):
+    """Evaluate polynomial on the coset g*{w^i}: scale coeff k by g^k, NTT."""
+    scaled = F.mont_mul(coeffs, jnp.asarray(domain.coset_pows))
+    return ntt(scaled, domain)
+
+
+def coset_intt(evals, domain: Domain):
+    """Interpolate from coset evaluations back to coefficients."""
+    coeffs = intt(evals, domain)
+    return F.mont_mul(coeffs, jnp.asarray(domain.coset_pows_inv))
