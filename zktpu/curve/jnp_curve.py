@@ -1,0 +1,293 @@
+"""Batched BN254 point arithmetic in JAX (TPU hot path).
+
+Re-owns gnark-crypto's G1/G2 Jacobian kernels (reference [dep] go.mod:9,
+SURVEY.md §2.2 N2) as fully-vectorized, branchless limb arithmetic:
+
+  * A batch of points is an SoA triple (X, Y, Z) of (..., L) uint32 limb
+    arrays — Jacobian coordinates, infinity encoded as Z == 0.
+  * `add` / `double` / `madd` are complete via masked selects (no
+    data-dependent branches, jit/vmap/shard_map-safe) — the TPU way: compute
+    both the add and the double path and select, trading ~2x FLOPs for zero
+    divergence.
+  * The same code serves G1 (coords in Fp) and G2 (coords in Fp2) through a
+    minimal field-ops adapter; Fp2 is karatsuba over the 16-limb Fp core.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field.jnp_field import JnpField
+from ..field.params import FP, NLIMBS, int_to_limbs
+
+FP_OPS = JnpField(FP)
+
+
+class Fp2Ops:
+    """Fp2 = Fp[u]/(u^2+1) with elements shaped (..., 2, NLIMBS)."""
+
+    def __init__(self):
+        self.f = FP_OPS
+
+    def add(self, a, b):
+        return self.f.add(a, b)  # component-wise; broadcasting over the 2-axis
+
+    def sub(self, a, b):
+        return self.f.sub(a, b)
+
+    def neg(self, a):
+        return self.f.neg(a)
+
+    def mul(self, a, b):
+        a0, a1 = a[..., 0, :], a[..., 1, :]
+        b0, b1 = b[..., 0, :], b[..., 1, :]
+        t0 = self.f.mont_mul(a0, b0)
+        t1 = self.f.mont_mul(a1, b1)
+        c0 = self.f.sub(t0, t1)
+        c1 = self.f.sub(
+            self.f.mont_mul(self.f.add(a0, a1), self.f.add(b0, b1)),
+            self.f.add(t0, t1),
+        )
+        return jnp.stack([c0, c1], axis=-2)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=(-1, -2))
+
+    def select(self, cond, a, b):
+        return jnp.where(cond[..., None, None], a, b)
+
+    def zeros_like(self, a):
+        return jnp.zeros_like(a)
+
+
+class Fp1Ops:
+    """Fp with elements shaped (..., NLIMBS)."""
+
+    def __init__(self):
+        self.f = FP_OPS
+
+    def add(self, a, b):
+        return self.f.add(a, b)
+
+    def sub(self, a, b):
+        return self.f.sub(a, b)
+
+    def neg(self, a):
+        return self.f.neg(a)
+
+    def mul(self, a, b):
+        return self.f.mont_mul(a, b)
+
+    def sqr(self, a):
+        return self.f.mont_mul(a, a)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=-1)
+
+    def select(self, cond, a, b):
+        return jnp.where(cond[..., None], a, b)
+
+    def zeros_like(self, a):
+        return jnp.zeros_like(a)
+
+
+G1 = Fp1Ops()
+G2 = Fp2Ops()
+
+
+def point_double(F, p):
+    """dbl-2009-l, a=0.  p = (x, y, z); infinity (z=0) maps to infinity."""
+    x, y, z = p
+    xx = F.sqr(x)
+    yy = F.sqr(y)
+    yyyy = F.sqr(yy)
+    s = F.mul(x, yy)
+    s4 = F.add(F.add(s, s), F.add(s, s))
+    m = F.add(F.add(xx, xx), xx)
+    x3 = F.sub(F.sqr(m), F.add(s4, s4))
+    y8 = F.add(F.add(yyyy, yyyy), F.add(yyyy, yyyy))
+    y3 = F.sub(F.mul(m, F.sub(s4, x3)), F.add(y8, y8))
+    z3 = F.mul(F.add(y, y), z)
+    return x3, y3, z3
+
+
+def point_add(F, p, q):
+    """Complete Jacobian + Jacobian addition (add-2007-bl + masked selects)."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    p_inf = F.is_zero(z1)
+    q_inf = F.is_zero(z2)
+    z1z1 = F.sqr(z1)
+    z2z2 = F.sqr(z2)
+    u1 = F.mul(x1, z2z2)
+    u2 = F.mul(x2, z1z1)
+    s1 = F.mul(y1, F.mul(z2z2, z2))
+    s2 = F.mul(y2, F.mul(z1z1, z1))
+    h = F.sub(u2, u1)
+    r = F.sub(s2, s1)
+    same_x = F.is_zero(h)
+    same_y = F.is_zero(r)
+    i = F.sqr(F.add(h, h))
+    j = F.mul(h, i)
+    r2 = F.add(r, r)
+    v = F.mul(u1, i)
+    x3 = F.sub(F.sub(F.sqr(r2), j), F.add(v, v))
+    s1j = F.mul(s1, j)
+    y3 = F.sub(F.mul(r2, F.sub(v, x3)), F.add(s1j, s1j))
+    zz = F.mul(z1, z2)
+    z3 = F.mul(F.add(zz, zz), h)
+    dx, dy, dz = point_double(F, p)
+    is_dbl = same_x & same_y & ~p_inf & ~q_inf
+    is_cancel = same_x & ~same_y & ~p_inf & ~q_inf
+    x3 = F.select(is_dbl, dx, x3)
+    y3 = F.select(is_dbl, dy, y3)
+    z3 = F.select(is_dbl, dz, z3)
+    z3 = F.select(is_cancel, F.zeros_like(z3), z3)
+    x3 = F.select(p_inf, x2, F.select(q_inf, x1, x3))
+    y3 = F.select(p_inf, y2, F.select(q_inf, y1, y3))
+    z3 = F.select(p_inf, z2, F.select(q_inf, z1, z3))
+    return x3, y3, z3
+
+
+def point_madd(F, p, qx, qy, q_inf):
+    """Mixed addition: Jacobian p + affine (qx, qy) with explicit inf mask.
+
+    madd-2007-bl; complete via selects (7M + 4S vs 11M + 5S for full add)."""
+    x1, y1, z1 = p
+    p_inf = F.is_zero(z1)
+    z1z1 = F.sqr(z1)
+    u2 = F.mul(qx, z1z1)
+    s2 = F.mul(qy, F.mul(z1z1, z1))
+    h = F.sub(u2, x1)
+    r = F.sub(s2, y1)
+    same_x = F.is_zero(h)
+    same_y = F.is_zero(r)
+    hh = F.sqr(h)
+    i = F.add(F.add(hh, hh), F.add(hh, hh))
+    j = F.mul(h, i)
+    r2 = F.add(r, r)
+    v = F.mul(x1, i)
+    x3 = F.sub(F.sub(F.sqr(r2), j), F.add(v, v))
+    y1j = F.mul(y1, j)
+    y3 = F.sub(F.mul(r2, F.sub(v, x3)), F.add(y1j, y1j))
+    z3 = F.sub(F.sub(F.sqr(F.add(z1, h)), z1z1), hh)
+    dx, dy, dz = point_double(F, p)
+    is_dbl = same_x & same_y & ~p_inf & ~q_inf
+    is_cancel = same_x & ~same_y & ~p_inf & ~q_inf
+    x3 = F.select(is_dbl, dx, x3)
+    y3 = F.select(is_dbl, dy, y3)
+    z3 = F.select(is_dbl, dz, z3)
+    z3 = F.select(is_cancel, F.zeros_like(z3), z3)
+    # q at infinity -> p; p at infinity -> (qx, qy, 1)
+    one = jnp.broadcast_to(_one_like(F, z1), z1.shape)
+    x3 = F.select(q_inf, x1, F.select(p_inf, qx, x3))
+    y3 = F.select(q_inf, y1, F.select(p_inf, qy, y3))
+    z3 = F.select(q_inf, z1, F.select(p_inf, F.select(q_inf, z1, one), z3))
+    return x3, y3, z3
+
+
+@functools.lru_cache(maxsize=4)
+def _one_cached(is_fp2: bool):
+    one = int_to_limbs(FP.r).astype(np.uint32)  # 1 in Montgomery form
+    if is_fp2:
+        return np.stack([one, np.zeros(NLIMBS, dtype=np.uint32)])
+    return one
+
+
+def _one_like(F, z):
+    return jnp.asarray(_one_cached(isinstance(F, Fp2Ops)))
+
+
+def point_neg(F, p):
+    x, y, z = p
+    return x, F.neg(y), z  # field neg maps 0 -> 0, so infinity stays valid
+
+
+def point_select(F, cond, p, q):
+    return (
+        F.select(cond, p[0], q[0]),
+        F.select(cond, p[1], q[1]),
+        F.select(cond, p[2], q[2]),
+    )
+
+
+def infinity_like(F, p):
+    return p[0], p[1], F.zeros_like(p[2])
+
+
+# ------------------------------------------------------- host-side codecs
+
+
+def g1_to_limbs(points) -> np.ndarray:
+    """List of ref_ec G1 Points -> (N, 2, NLIMBS) affine Montgomery limbs.
+
+    Infinity encodes as (0, 0) with a separate mask from g1_inf_mask."""
+    from .ref_ec import G1_CURVE
+
+    out = np.zeros((len(points), 2, NLIMBS), dtype=np.uint32)
+    for i, p in enumerate(points):
+        aff = G1_CURVE.to_affine(p)
+        if aff is None:
+            continue
+        out[i, 0] = int_to_limbs(FP.to_mont(aff[0]))
+        out[i, 1] = int_to_limbs(FP.to_mont(aff[1]))
+    return out
+
+
+def g1_inf_mask(points) -> np.ndarray:
+    from .ref_ec import G1_CURVE
+
+    return np.array([G1_CURVE._is_inf(p) for p in points], dtype=bool)
+
+
+def g2_to_limbs(points) -> np.ndarray:
+    """List of ref_ec G2 Points -> (N, 2, 2, NLIMBS): [coord][fp2 component]."""
+    from .ref_ec import G2_CURVE
+
+    out = np.zeros((len(points), 2, 2, NLIMBS), dtype=np.uint32)
+    for i, p in enumerate(points):
+        aff = G2_CURVE.to_affine(p)
+        if aff is None:
+            continue
+        x, y = aff
+        out[i, 0, 0] = int_to_limbs(FP.to_mont(x.c0))
+        out[i, 0, 1] = int_to_limbs(FP.to_mont(x.c1))
+        out[i, 1, 0] = int_to_limbs(FP.to_mont(y.c0))
+        out[i, 1, 1] = int_to_limbs(FP.to_mont(y.c1))
+    return out
+
+
+def g2_inf_mask(points) -> np.ndarray:
+    from .ref_ec import G2_CURVE
+
+    return np.array([G2_CURVE._is_inf(p) for p in points], dtype=bool)
+
+
+def limbs_to_g1(xyz):
+    """(X, Y, Z) limb arrays (single point, Jacobian, Montgomery) -> ref_ec Point."""
+    from ..field.params import limbs_to_int
+    from .ref_ec import G1_CURVE, Point
+
+    x = FP.from_mont(limbs_to_int(np.asarray(xyz[0])))
+    y = FP.from_mont(limbs_to_int(np.asarray(xyz[1])))
+    z = FP.from_mont(limbs_to_int(np.asarray(xyz[2])))
+    return Point(x, y, z, G1_CURVE.b)
+
+
+def limbs_to_g2(xyz):
+    from ..field.params import limbs_to_int
+    from .ref_ec import G2_CURVE, Fp2, Point
+
+    def dec(c):
+        c = np.asarray(c)
+        return Fp2(
+            FP.from_mont(limbs_to_int(c[0])), FP.from_mont(limbs_to_int(c[1]))
+        )
+
+    return Point(dec(xyz[0]), dec(xyz[1]), dec(xyz[2]), G2_CURVE.b)

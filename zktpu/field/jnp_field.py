@@ -30,6 +30,8 @@ from .params import LIMB_BITS, LIMB_MASK, NLIMBS, FieldSpec
 
 _U32 = jnp.uint32
 MASK = np.uint32(LIMB_MASK)
+# flattened anti-diagonal index map: product digit (i, j) lands in column i+j
+_DIAG_IDX = (np.arange(NLIMBS)[:, None] + np.arange(NLIMBS)[None, :]).reshape(-1)
 
 
 def _stack_last(parts):
@@ -46,6 +48,9 @@ class JnpField:
         self.r2_limbs = spec.r2_limbs
         self.one_mont = spec.one_mont_limbs
         self.zero = spec.zero_limbs
+        from .params import int_to_limbs
+
+        self.rbar_limbs = int_to_limbs((1 << 256) - spec.modulus)
 
     # ------------------------------------------------------------------ utils
     def const(self, value: int, mont: bool = True) -> np.ndarray:
@@ -60,55 +65,42 @@ class JnpField:
         return jnp.broadcast_to(c, tuple(batch_shape) + (NLIMBS,))
 
     # --------------------------------------------------------- carry chains
-    def _normalize(self, t):
-        """Propagate carries over 16 digits (< 2^32 each); value must fit 256 bits."""
+    def _carry16(self, t):
+        """Propagate carries over 16 digits (< 2^32 each); returns
+        (canonical 16 digits, carry-out)."""
         out = []
-        carry = jnp.zeros(t.shape[:-1], dtype=_U32)
+        carry = None
         for k in range(NLIMBS):
-            v = t[..., k] + carry
+            v = t[..., k] if carry is None else t[..., k] + carry
             out.append(v & MASK)
             carry = v >> LIMB_BITS
-        return _stack_last(out)
+        return _stack_last(out), carry
 
-    def _sub_limbs(self, a, b):
-        """a - b for canonical digit arrays with value(a) >= value(b)."""
-        out = []
-        borrow = jnp.zeros(a.shape[:-1], dtype=_U32)
-        top = np.uint32(1 << LIMB_BITS)
-        for k in range(NLIMBS):
-            v = a[..., k] + top - b[..., k] - borrow
-            out.append(v & MASK)
-            borrow = np.uint32(1) - (v >> LIMB_BITS)
-        return _stack_last(out)
-
-    def _geq_p(self, a):
-        """a >= p, for canonical a (lexicographic from top limb)."""
-        p = self.p_limbs
-        gt = jnp.zeros(a.shape[:-1], dtype=jnp.bool_)
-        eq = jnp.ones(a.shape[:-1], dtype=jnp.bool_)
-        for k in range(NLIMBS - 1, -1, -1):
-            pk = np.uint32(p[k])
-            gt = gt | (eq & (a[..., k] > pk))
-            eq = eq & (a[..., k] == pk)
-        return gt | eq
+    def _normalize(self, t):
+        """Carry-normalize, dropping overflow (value must fit 256 bits)."""
+        return self._carry16(t)[0]
 
     def _cond_sub_p(self, a):
-        """Reduce canonical a < 2p into [0, p)."""
-        p = jnp.broadcast_to(jnp.asarray(self.p_limbs, dtype=_U32), a.shape)
-        diff = self._sub_limbs(a, p)
-        return jnp.where(self._geq_p(a)[..., None], diff, a)
+        """Reduce canonical a < 2p into [0, p): add 2^256 - p, keep the sum
+        iff it carried out (single carry chain — no separate compare)."""
+        s, cout = self._carry16(a + jnp.asarray(self.rbar_limbs, dtype=_U32))
+        return jnp.where((cout > 0)[..., None], s, a)
 
     # ------------------------------------------------------------ public ops
     def add(self, a, b):
         return self._cond_sub_p(self._normalize(a + b))
 
     def sub(self, a, b):
-        p = jnp.broadcast_to(jnp.asarray(self.p_limbs, dtype=_U32), b.shape)
-        return self.add(a, self._sub_limbs(p, b))
+        """a - b via a + p + (2^16-complement of b): one chain + cond-sub."""
+        t = a + jnp.asarray(self.p_limbs, dtype=_U32) + (MASK - b)
+        t = t.at[..., 0].add(np.uint32(1))  # +1 completes the complement
+        return self._cond_sub_p(self._normalize(t))
 
     def neg(self, b):
-        p = jnp.broadcast_to(jnp.asarray(self.p_limbs, dtype=_U32), b.shape)
-        return self._cond_sub_p(self._sub_limbs(p, b))
+        p = jnp.asarray(self.p_limbs, dtype=_U32) + jnp.zeros_like(b)
+        t = p + (MASK - b)
+        t = t.at[..., 0].add(np.uint32(1))
+        return self._cond_sub_p(self._normalize(t))
 
     def double(self, a):
         return self.add(a, a)
@@ -125,27 +117,35 @@ class JnpField:
 
     # -------------------------------------------------------- multiplication
     def _mul_acc(self, a, b):
-        """Column-accumulated 512-bit product; 32 digits, each < 2^22."""
+        """Column-accumulated 512-bit product; 32 digits, each < 2^21.
+
+        One broadcast outer product + two scatter-adds over static index maps
+        (anti-diagonal sums) — a far leaner XLA graph than per-limb
+        dynamic-update-slice chains (compile-time hot spot on big fused
+        kernels like point_add)."""
         shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        a = jnp.broadcast_to(a, shape + (NLIMBS,))
+        b = jnp.broadcast_to(b, shape + (NLIMBS,))
+        o = a[..., :, None] * b[..., None, :]  # exact: (2^16-1)^2 < 2^32
+        lo = (o & MASK).reshape(shape + (NLIMBS * NLIMBS,))
+        hi = (o >> LIMB_BITS).reshape(shape + (NLIMBS * NLIMBS,))
         t = jnp.zeros(shape + (2 * NLIMBS,), dtype=_U32)
-        for i in range(NLIMBS):
-            p = a[..., i : i + 1] * b  # exact: (2^16-1)^2 < 2^32
-            lo = p & MASK
-            hi = p >> LIMB_BITS
-            t = t.at[..., i : i + NLIMBS].add(lo)
-            t = t.at[..., i + 1 : i + NLIMBS + 1].add(hi)
+        t = t.at[..., _DIAG_IDX].add(lo)
+        t = t.at[..., _DIAG_IDX + 1].add(hi)
         return t
 
     def mont_reduce(self, t):
         """Montgomery REDC of a column-accumulated 32-digit value -> (...,16) canonical."""
-        pl = self.p_limbs
+        pl = jnp.asarray(self.p_limbs, dtype=_U32)
+        batch = t.shape[:-1]
+        pad_cfg = [(0, 0)] * len(batch)
         for i in range(NLIMBS):
             m = (t[..., i] * self.ninv) & MASK
-            mp = m[..., None] * jnp.asarray(pl, dtype=_U32)
+            mp = m[..., None] * pl
             lo = mp & MASK
             hi = mp >> LIMB_BITS
-            t = t.at[..., i : i + NLIMBS].add(lo)
-            t = t.at[..., i + 1 : i + NLIMBS + 1].add(hi)
+            t = t + jnp.pad(lo, pad_cfg + [(i, NLIMBS - i)])
+            t = t + jnp.pad(hi, pad_cfg + [(i + 1, NLIMBS - i - 1)])
             # digit i is now = 0 mod 2^16; fold its carry into digit i+1
             t = t.at[..., i + 1].add(t[..., i] >> LIMB_BITS)
         res = self._normalize(t[..., NLIMBS:])
