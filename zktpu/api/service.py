@@ -1,0 +1,253 @@
+"""Prover/verifier service layer: JSON wire protocol + algorithm registry.
+
+Re-owns /root/reference/libraries/prover/impl/{prove_impl.go,provers.go} and
+/root/reference/libraries/verifier/impl/{verify_impl.go,verifiers.go}:
+
+  * algorithm IDs 0/1/2 -> "chacha20"/"aes-128-ctr"/"aes-256-ctr"
+    (prove_impl.go:15-25);
+  * InitAlgorithm(id, pk_bytes, r1cs_bytes) loads artifacts once
+    (prove_impl.go:65-110, idempotent);
+  * Prove(json) parses InputParams{cipher,key,nonce,counter,input}
+    (provers.go:53-59), runs the NATIVE cipher to derive the ciphertext
+    (provers.go:93-101), builds the bit witness in the circuit's endianness
+    contract (BE words for pt/ct, LE for key/nonce/counter — utils/bytes.go),
+    proves on TPU, and returns OutputParams{proof:{proofJson}, publicSignals}
+    where publicSignals is the ciphertext only (prove_impl.go:127-138);
+  * Verify(json) parses InputVerifyParams{cipher,proof,publicSignals} with the
+    144-byte layout ct(64)|nonce(12)|counter(4,LE for chacha)|pt(64)
+    (verifiers.go:52-85) and runs the pairing check.
+
+Binary JSON fields accept base64 strings (Go []uint8 marshaling) or plain
+number arrays, matching both reference usages (README.md:28-36 vs
+core_test.go:48).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+
+import numpy as np
+
+ALGORITHM_NAMES = {0: "chacha20", 1: "aes-128-ctr", 2: "aes-256-ctr"}
+
+_PROVERS: dict[str, "ChaChaProverService"] = {}
+
+
+def _decode_bytes(v) -> bytes:
+    if v is None:
+        return b""
+    if isinstance(v, str):
+        return base64.b64decode(v)
+    if isinstance(v, (list, tuple)):
+        return bytes(bytearray(int(x) & 0xFF for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    raise ValueError(f"cannot decode bytes field: {type(v)}")
+
+
+def _encode_bytes(b: bytes) -> str:
+    return base64.b64encode(b).decode("ascii")
+
+
+# --------------------------------------------------------------- proof bytes
+
+_PROOF_MAGIC = b"ZKT1"
+
+
+def proof_to_bytes(proof) -> bytes:
+    """Our native proof wire format: magic + A(64) + B(128) + C(64) big-endian.
+
+    (gnark-compatible compressed serialization is a separate codec —
+    SURVEY.md §7 Phase 5.)"""
+
+    def be32(x):
+        return int(x).to_bytes(32, "big")
+
+    return b"".join(
+        [
+            _PROOF_MAGIC,
+            be32(proof.a[0]), be32(proof.a[1]),
+            be32(proof.b[0][0]), be32(proof.b[0][1]),
+            be32(proof.b[1][0]), be32(proof.b[1][1]),
+            be32(proof.c[0]), be32(proof.c[1]),
+        ]
+    )
+
+
+def proof_from_bytes(data: bytes):
+    from ..groth16.prove import Proof
+
+    if len(data) != 4 + 32 * 8 or data[:4] != _PROOF_MAGIC:
+        raise ValueError("bad proof encoding")
+    vals = [int.from_bytes(data[4 + 32 * i : 4 + 32 * (i + 1)], "big") for i in range(8)]
+    return Proof(
+        a=(vals[0], vals[1]),
+        b=((vals[2], vals[3]), (vals[4], vals[5])),
+        c=(vals[6], vals[7]),
+    )
+
+
+# ------------------------------------------------------------ chacha service
+
+
+def chacha_public_bits(counter: int, nonce: bytes, pt: bytes, ct: bytes) -> list[int]:
+    """The 1152 public-input values in witness order:
+    Counter(32 LE-value bits) | Nonce(3 LE words) | In=pt(16 BE words) |
+    Out=ct(16 BE words); bits LSB-first within each word
+    (chachaV3/circuit.go:11-17 + utils/bytes.go)."""
+    from ..circuits.chacha_v3 import bytes_to_words_be, bytes_to_words_le
+
+    def word_bits(w):
+        return [(int(w) >> i) & 1 for i in range(32)]
+
+    out = word_bits(counter)
+    for w in bytes_to_words_le(nonce):
+        out += word_bits(w)
+    for w in bytes_to_words_be(pt):
+        out += word_bits(w)
+    for w in bytes_to_words_be(ct):
+        out += word_bits(w)
+    return out
+
+
+class ChaChaProverService:
+    """Reference analog: ChaChaProver (provers.go:65-170)."""
+
+    def __init__(self, cs, pk):
+        from ..groth16.prove import Prover
+
+        self.cs = cs
+        self.prover = Prover(cs, pk)
+
+    def prove(self, key: bytes, nonce: bytes, counter: int, inp: bytes):
+        from ..circuits import chacha_v3 as cc
+
+        if len(key) != 32:
+            raise ValueError("key length must be 32")
+        if len(nonce) != 12:
+            raise ValueError("nonce length must be 12")
+        if len(inp) != 64:
+            raise ValueError("input length must be 64")
+        kw = cc.bytes_to_words_le(key)[None]
+        nw = cc.bytes_to_words_le(nonce)[None]
+        ctr = np.array([counter], dtype=np.uint32)
+        ks = np.asarray(cc.chacha20_block_words(kw, ctr, nw))[0]
+        ct = bytes(a ^ b for a, b in zip(inp, cc.words_to_bytes_le(ks)))
+        z = np.asarray(
+            cc.witness_bits(
+                ctr, nw, cc.bytes_to_words_be(inp)[None], cc.bytes_to_words_be(ct)[None], kw
+            )
+        )[0]
+        proof = self.prover.prove(z)
+        return proof_to_bytes(proof), ct
+
+
+def init_algorithm(algorithm_id: int, pk_bytes: bytes, r1cs_bytes: bytes) -> bool:
+    """Reference analog: impl.InitAlgorithm (prove_impl.go:65-114)."""
+    import io
+
+    try:
+        name = ALGORITHM_NAMES.get(algorithm_id)
+        if name is None:
+            return False
+        if name in _PROVERS:
+            return True
+        if name != "chacha20":
+            return False  # AES services land with the aesV2 circuit
+        from ..groth16.setup import ProvingKey
+        from ..r1cs import serialize as r1cs_ser
+
+        cs = r1cs_ser.loads(r1cs_bytes)
+        pk = ProvingKey.load(io.BytesIO(pk_bytes))
+        _PROVERS[name] = ChaChaProverService(cs, pk)
+        return True
+    except Exception as e:  # panic -> false at the boundary (prove_impl.go:66-71)
+        print(e)
+        return False
+
+
+def prove(params_json: bytes) -> bytes:
+    """Reference analog: impl.Prove (prove_impl.go:116-143).  Raises on bad
+    input (the FFI shim converts to the panic->JSON contract)."""
+    params = json.loads(params_json)
+    cipher = params["cipher"]
+    svc = _PROVERS.get(cipher)
+    if svc is None:
+        raise RuntimeError(f"algorithm {cipher} not initialized")
+    proof_bytes, ct = svc.prove(
+        _decode_bytes(params.get("key")),
+        _decode_bytes(params.get("nonce")),
+        int(params.get("counter", 0)),
+        _decode_bytes(params.get("input")),
+    )
+    out = {
+        "proof": {"proofJson": _encode_bytes(proof_bytes)},
+        "publicSignals": _encode_bytes(ct),
+    }
+    return json.dumps(out).encode()
+
+
+# ----------------------------------------------------------------- verifier
+
+
+class ChaChaVerifierService:
+    """Reference analog: ChachaVerifier (verifiers.go:42-108)."""
+
+    def __init__(self, vk):
+        self.vk = vk
+
+    def verify(self, proof_bytes: bytes, public_signals: bytes) -> bool:
+        from ..groth16.verify import verify as g16_verify
+
+        if len(public_signals) != 144:
+            return False
+        ct = public_signals[0:64]
+        nonce = public_signals[64:76]
+        counter = struct.unpack("<I", public_signals[76:80])[0]  # LE (core_test.go:161)
+        pt = public_signals[80:144]
+        try:
+            proof = proof_from_bytes(proof_bytes)
+        except ValueError:
+            return False
+        pub = chacha_public_bits(counter, nonce, pt, ct)
+        return g16_verify(proof, self.vk, pub)
+
+
+_VERIFIERS: dict[str, ChaChaVerifierService] = {}
+
+
+def register_verifier(cipher: str, vk) -> None:
+    """Reference analog: the go:embed vk table built in init()
+    (verify_impl.go:24-60); explicit registration replaces build-time embed."""
+    _VERIFIERS[cipher] = ChaChaVerifierService(vk)
+
+
+def load_verifiers_from_dir(path: str) -> None:
+    import json as _json
+    import os
+
+    from ..groth16.setup import VerifyingKey
+
+    mapping = {"chacha20": "vk.chacha20", "aes-128-ctr": "vk.aes128", "aes-256-ctr": "vk.aes256"}
+    for cipher, fname in mapping.items():
+        fp = os.path.join(path, fname)
+        if os.path.exists(fp):
+            with open(fp) as f:
+                register_verifier(cipher, VerifyingKey.from_json_dict(_json.load(f)))
+
+
+def verify(params_json: bytes) -> bool:
+    """Reference analog: impl.Verify (verify_impl.go:62-82) — any failure
+    returns false, never raises."""
+    try:
+        params = json.loads(params_json)
+        svc = _VERIFIERS.get(params["cipher"])
+        if svc is None:
+            return False
+        return svc.verify(
+            _decode_bytes(params["proof"]), _decode_bytes(params["publicSignals"])
+        )
+    except Exception:
+        return False

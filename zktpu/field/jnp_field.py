@@ -135,20 +135,28 @@ class JnpField:
         return t
 
     def mont_reduce(self, t):
-        """Montgomery REDC of a column-accumulated 32-digit value -> (...,16) canonical."""
+        """Montgomery REDC of a column-accumulated 32-digit value -> (...,16) canonical.
+
+        Shift-down formulation: each iteration clears the lowest digit with
+        m*p and shifts the accumulator right one digit, so every slice offset
+        is static and the whole loop is ONE ~10-op fori body — the XLA graph
+        stays tiny no matter how many muls a caller chains (point_add compile
+        time is dominated by this)."""
         pl = jnp.asarray(self.p_limbs, dtype=_U32)
-        batch = t.shape[:-1]
-        pad_cfg = [(0, 0)] * len(batch)
-        for i in range(NLIMBS):
-            m = (t[..., i] * self.ninv) & MASK
+
+        def body(_, acc):
+            m = (acc[..., 0] * self.ninv) & MASK
             mp = m[..., None] * pl
-            lo = mp & MASK
-            hi = mp >> LIMB_BITS
-            t = t + jnp.pad(lo, pad_cfg + [(i, NLIMBS - i)])
-            t = t + jnp.pad(hi, pad_cfg + [(i + 1, NLIMBS - i - 1)])
-            # digit i is now = 0 mod 2^16; fold its carry into digit i+1
-            t = t.at[..., i + 1].add(t[..., i] >> LIMB_BITS)
-        res = self._normalize(t[..., NLIMBS:])
+            acc = acc.at[..., :NLIMBS].add(mp & MASK)
+            acc = acc.at[..., 1 : NLIMBS + 1].add(mp >> LIMB_BITS)
+            carry = acc[..., 0] >> LIMB_BITS
+            acc = jnp.concatenate(
+                [acc[..., 1:], jnp.zeros_like(acc[..., :1])], axis=-1
+            )
+            return acc.at[..., 0].add(carry)
+
+        t = jax.lax.fori_loop(0, NLIMBS, body, t)
+        res = self._normalize(t[..., :NLIMBS])
         return self._cond_sub_p(res)
 
     def mont_mul(self, a, b):

@@ -1,0 +1,273 @@
+"""Multi-scalar multiplication on TPU (the Groth16 prover's #1 hot loop).
+
+Re-owns gnark-crypto's Pippenger MSM (reference [dep] go.mod:9; SURVEY.md §3.3
+hot loop ①) with a formulation built for SIMD/XLA instead of goroutine
+work-stealing:
+
+  * Window digits (8-bit) for all 32 windows are extracted at once from the
+    16-bit scalar limbs; per-window bucket accumulation is
+    sort-by-digit -> segmented Hillis-Steele scan (batched over all windows)
+    -> segment-tail scatter into (32, 256) bucket arrays.  Data-dependent
+    scatter of *points* never happens — only index scatters of already-reduced
+    segment sums, which XLA handles as a single scatter op.
+  * The scan runs inside `lax.fori_loop` with a dynamic shift so the compiled
+    graph contains ONE batched point-add regardless of N.
+  * Bucket weighting uses the suffix-sum identity sum_j j*B_j = sum_j S_j
+    (S = suffix sums), computed as log-depth batched tree passes.
+  * Window combination is a Horner fori_loop (8 doublings + 1 add per step).
+  * `msm_bits` is the specialized path for 0/1 scalars (the entire ChaCha
+    witness — circuits/chachaV3 is fully bit-valued): a masked log-depth
+    pairwise tree reduction, ~N point-adds total.
+
+Scalars arrive as canonical (non-Montgomery) 16-bit limb arrays (N, 16);
+points as affine Montgomery limbs (N, 2, L) with an infinity mask.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curve import jnp_curve as jc
+from ..field.params import NLIMBS
+
+WBITS = 8
+NWINDOWS = 32  # 256 bits / 8
+NBUCKETS = 1 << WBITS
+
+
+def _one_mont(ops):
+    return jnp.asarray(jc._one_cached(isinstance(ops, jc.Fp2Ops)))
+
+
+def _coord_shape(ops):
+    return (2, NLIMBS) if isinstance(ops, jc.Fp2Ops) else (NLIMBS,)
+
+
+def _shift_right(arr, s, n, axis):
+    """arr shifted by +s along `axis` (length n), zero-filled; s may be traced."""
+    pad = jnp.zeros_like(arr)
+    cat = jnp.concatenate([pad, arr], axis=axis)
+    start = [0] * cat.ndim
+    start[axis] = n - s
+    sizes = list(cat.shape)
+    sizes[axis] = n
+    return jax.lax.dynamic_slice(cat, start, sizes)
+
+
+def scalars_to_digits(scalar_limbs):
+    """(N, 16) uint32 16-bit limbs -> (NWINDOWS, N) uint32 8-bit digits."""
+    lo = scalar_limbs & 0xFF
+    hi = (scalar_limbs >> 8) & 0xFF
+    inter = jnp.stack([lo, hi], axis=-1).reshape(scalar_limbs.shape[0], 2 * NLIMBS)
+    return inter.T  # (32, N)
+
+
+def stage_prepare(points, inf_mask, scalar_limbs, ops=jc.G1):
+    """Digits, sort, gather, Jacobian lift, segment heads."""
+    n = points.shape[0]
+    digits = scalars_to_digits(scalar_limbs)  # (32, N)
+    order = jnp.argsort(digits, axis=1)  # (32, N)
+    ds = jnp.take_along_axis(digits, order, axis=1)
+    px = jnp.take(points[:, 0], order.reshape(-1), axis=0).reshape(
+        (NWINDOWS, n) + _coord_shape(ops)
+    )
+    py = jnp.take(points[:, 1], order.reshape(-1), axis=0).reshape(
+        (NWINDOWS, n) + _coord_shape(ops)
+    )
+    pinf = jnp.take(inf_mask, order.reshape(-1)).reshape(NWINDOWS, n)
+    one = _one_mont(ops)
+    zshape = (NWINDOWS, n) + _coord_shape(ops)
+    Z = jnp.where(
+        pinf.reshape(pinf.shape + (1,) * len(_coord_shape(ops))),
+        jnp.zeros(zshape, jnp.uint32),
+        jnp.broadcast_to(one, zshape),
+    )
+    heads = jnp.concatenate(
+        [jnp.ones((NWINDOWS, 1), bool), ds[:, 1:] != ds[:, :-1]], axis=1
+    )
+    return ds, heads, px, py, Z
+
+
+def stage_scan(ds, heads, px, py, Z, ops=jc.G1):
+    """Segmented inclusive scan (Hillis-Steele), combine:
+    (v1,f1) x (v2,f2) -> (f2 ? v2 : v1+v2, f1|f2)."""
+    n = px.shape[1]
+    logn = n.bit_length() - 1
+
+    def body(k, carry):
+        X, Y, Z, F = carry
+        s = jnp.int32(1) << k
+        Xs = _shift_right(X, s, n, 1)
+        Ys = _shift_right(Y, s, n, 1)
+        Zs = _shift_right(Z, s, n, 1)  # shifted-in Z=0 = infinity = identity
+        Fs = _shift_right(F.astype(jnp.uint32), s, n, 1).astype(bool)
+        ax, ay, az = jc.point_add(ops, (Xs, Ys, Zs), (X, Y, Z))
+        X2 = ops.select(F, X, ax)
+        Y2 = ops.select(F, Y, ay)
+        Z2 = ops.select(F, Z, az)
+        return X2, Y2, Z2, F | Fs
+
+    X, Y, Z, _ = jax.lax.fori_loop(0, logn, body, (px, py, Z, heads))
+    return X, Y, Z
+
+
+def stage_buckets(ds, heads, X, Y, Z, ops=jc.G1):
+    """Scatter segment tails into (32, 256) bucket arrays."""
+    n = ds.shape[1]
+    is_tail = jnp.concatenate([heads[:, 1:], jnp.ones((NWINDOWS, 1), bool)], axis=1)
+    target = jnp.where(is_tail, ds, NBUCKETS)  # OOB rows are dropped by scatter
+    bshape = (NWINDOWS, NBUCKETS) + _coord_shape(ops)
+    widx = jnp.broadcast_to(jnp.arange(NWINDOWS)[:, None], (NWINDOWS, n))
+    BX = jnp.zeros(bshape, jnp.uint32).at[widx, target].set(X, mode="drop")
+    BY = jnp.zeros(bshape, jnp.uint32).at[widx, target].set(Y, mode="drop")
+    BZ = jnp.zeros(bshape, jnp.uint32).at[widx, target].set(Z, mode="drop")
+    return BX, BY, BZ
+
+
+def stage_reduce(BX, BY, BZ, ops=jc.G1):
+    """Weighted bucket reduction via the double-suffix identity:
+    S_j = sum_{k>=j} B_k ; T_j = sum_{k>=j} S_k  =>  T_1 = sum_j j*B_j."""
+
+    def _suffix(pts):
+        def sbody(k, carry):
+            X, Y, Z = carry
+            s = jnp.int32(1) << k
+
+            def shl(a):  # a[j] <- a[j+s], zero-filled (infinity) at the top
+                pad = jnp.zeros_like(a)
+                cat = jnp.concatenate([a, pad], axis=1)
+                start = [0] * cat.ndim
+                start[1] = s
+                sizes = list(cat.shape)
+                sizes[1] = NBUCKETS
+                return jax.lax.dynamic_slice(cat, start, sizes)
+
+            return jc.point_add(ops, (X, Y, Z), (shl(X), shl(Y), shl(Z)))
+
+        return jax.lax.fori_loop(0, WBITS, sbody, pts)
+
+    SX, SY, SZ = _suffix((BX, BY, BZ))
+    TX, TY, TZ = _suffix((SX, SY, SZ))
+    return TX[:, 1], TY[:, 1], TZ[:, 1]  # (32, coord): window sums
+
+
+def msm(points, inf_mask, scalar_limbs, ops=jc.G1):
+    """sum_i s_i * P_i as ONE traceable graph (for shard_map composition).
+    points (N,2)+coord, inf_mask (N,), scalars (N,16) canonical limbs.
+    Returns a single Jacobian point (X, Y, Z) in limb form."""
+    n = points.shape[0]
+    assert n & (n - 1) == 0, "pad N to a power of two"
+    ds, heads, px, py, Z = stage_prepare(points, inf_mask, scalar_limbs, ops)
+    X, Y, Z = stage_scan(ds, heads, px, py, Z, ops)
+    B = stage_buckets(ds, heads, X, Y, Z, ops)
+    W = stage_reduce(*B, ops)
+    return combine_windows(ops, W)
+
+
+class StagedMSM:
+    """Host-orchestrated MSM with separately-jitted stages: total compile time
+    is the SUM of stage compiles instead of one superlinearly-slow module
+    (XLA global passes dominate past ~10k ops)."""
+
+    def __init__(self, ops=jc.G1):
+        self.ops = ops
+        self._prepare = jax.jit(functools.partial(stage_prepare, ops=ops))
+        self._scan = jax.jit(functools.partial(stage_scan, ops=ops))
+        self._buckets = jax.jit(functools.partial(stage_buckets, ops=ops))
+        self._reduce = jax.jit(functools.partial(stage_reduce, ops=ops))
+        self._combine = jax.jit(functools.partial(combine_windows, ops))
+
+    def __call__(self, points, inf_mask, scalar_limbs):
+        n = points.shape[0]
+        assert n & (n - 1) == 0, "pad N to a power of two"
+        ds, heads, px, py, Z = self._prepare(points, inf_mask, scalar_limbs)
+        X, Y, Z = self._scan(ds, heads, px, py, Z)
+        B = self._buckets(ds, heads, X, Y, Z)
+        W = self._reduce(*B)
+        return self._combine(W)
+
+
+def combine_windows(ops, W):
+    """acc = sum_w 2^(8w) W_w via a 256-step bit loop (1 double + 1 masked
+    add per fori body — the graph stays two point-ops regardless of width)."""
+    WX, WY, WZ = W
+    zero = (
+        jnp.zeros(WX.shape[1:], jnp.uint32),
+        jnp.zeros(WY.shape[1:], jnp.uint32),
+        jnp.zeros(WZ.shape[1:], jnp.uint32),
+    )
+
+    def body(i, acc):
+        bit = NWINDOWS * WBITS - 1 - i  # 255 .. 0
+        acc = jc.point_double(ops, acc)
+        w = bit // WBITS
+        p = (WX[w], WY[w], WZ[w])
+        added = jc.point_add(ops, acc, p)
+        take = (bit % WBITS) == 0  # add W_w once, at its lowest bit position
+        return jc.point_select(ops, jnp.logical_not(take), acc, added)
+
+    return jax.lax.fori_loop(0, NWINDOWS * WBITS, body, zero)
+
+
+def msm_bits(points, inf_mask, bits, ops=jc.G1):
+    """sum over points where bit == 1 (witness MSMs for bit-valued circuits).
+
+    points (N, 2, coord), inf_mask (N,), bits (N,) in {0,1}."""
+    n = points.shape[0]
+    assert n & (n - 1) == 0, "pad N to a power of two"
+    one = _one_mont(ops)
+    cshape = _coord_shape(ops)
+    active = (bits != 0) & ~inf_mask
+    zshape = (n,) + cshape
+    X = points[:, 0]
+    Y = points[:, 1]
+    Z = jnp.where(
+        active.reshape((n,) + (1,) * len(cshape)),
+        jnp.broadcast_to(one, zshape),
+        jnp.zeros(zshape, jnp.uint32),
+    )
+    # log-depth halving tree as a fori_loop over a fixed-width buffer: at step
+    # k the live prefix has n >> k entries; masked lanes stay at infinity.
+    logn = n.bit_length() - 1
+
+    def body(k, carry):
+        X, Y, Z = carry
+        h = n >> (k + 1)  # traced
+
+        def shl(a):
+            pad = jnp.zeros_like(a)
+            cat = jnp.concatenate([a, pad], axis=0)
+            start = [0] * cat.ndim
+            start[0] = h
+            sizes = list(cat.shape)
+            sizes[0] = n
+            return jax.lax.dynamic_slice(cat, start, sizes)
+
+        ax, ay, az = jc.point_add(ops, (X, Y, Z), (shl(X), shl(Y), shl(Z)))
+        live = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) < h
+        mask = live.reshape((n,) + (1,) * len(cshape))
+        return (
+            jnp.where(mask, ax, jnp.zeros_like(ax)),
+            jnp.where(mask, ay, jnp.zeros_like(ay)),
+            jnp.where(mask, az, jnp.zeros_like(az)),
+        )
+
+    X, Y, Z = jax.lax.fori_loop(0, logn, body, (X, Y, Z))
+    return X[0], Y[0], Z[0]
+
+
+# ----------------------------------------------------------- host reference
+
+
+def msm_reference(points_ref, scalars):
+    """Slow Python oracle: sum_i s_i * P_i via ref_ec (tests only)."""
+    from ..curve.ref_ec import G1_CURVE
+
+    acc = G1_CURVE.infinity()
+    for p, s in zip(points_ref, scalars):
+        acc = G1_CURVE.add(acc, G1_CURVE.mul(p, s))
+    return acc
