@@ -42,18 +42,27 @@ F = JnpField(FR)
 
 @dataclasses.dataclass
 class Proof:
-    """Groth16 proof as affine coordinate ints (curve points on BN254)."""
+    """Groth16 proof as affine coordinate ints (curve points on BN254).
+
+    d / d_sigma are the Pedersen commitment + proof-of-knowledge for lookup
+    circuits (BSB22-style; None for pure-R1CS circuits)."""
 
     a: tuple  # (x, y) in G1
     b: tuple  # ((x0,x1),(y0,y1)) in G2
     c: tuple  # (x, y) in G1
+    d: tuple = None  # (x, y) in G1 or None
+    d_sigma: tuple = None
 
     def to_json_dict(self) -> dict:
-        return {
+        out = {
             "a": list(self.a),
             "b": [list(c) for c in self.b],
             "c": list(self.c),
         }
+        if self.d is not None:
+            out["d"] = list(self.d)
+            out["d_sigma"] = list(self.d_sigma)
+        return out
 
     @classmethod
     def from_json_dict(cls, d) -> "Proof":
@@ -61,7 +70,21 @@ class Proof:
             a=tuple(d["a"]),
             b=tuple(tuple(c) for c in d["b"]),
             c=tuple(d["c"]),
+            d=tuple(d["d"]) if d.get("d") else None,
+            d_sigma=tuple(d["d_sigma"]) if d.get("d_sigma") else None,
         )
+
+
+def lookup_challenge(d_aff: tuple, slot: int) -> int:
+    """Fiat-Shamir challenge for lookup circuits: H(commitment, slot) mod r.
+    The verifier recomputes this for every vk.challenge_slots entry."""
+    msg = (
+        b"zktpu-lookup-v1"
+        + int(d_aff[0]).to_bytes(32, "big")
+        + int(d_aff[1]).to_bytes(32, "big")
+        + slot.to_bytes(4, "big")
+    )
+    return int.from_bytes(hashlib.sha512(msg).digest(), "big") % P_FR
 
 
 def _coeffs_r2(coeffs) -> np.ndarray:
@@ -71,6 +94,19 @@ def _coeffs_r2(coeffs) -> np.ndarray:
     for i, c in enumerate(coeffs):
         out[i] = int_to_limbs(c * FR.r2 % P_FR)
     return out
+
+
+def encode_witness(values, nv_pad: int):
+    """Python-int witness -> ((nv,16) Montgomery limbs, (nv_pad,16) canonical
+    digits) for the general prover path."""
+    from ..field import limb
+
+    z_mont = limb.encode(values, FR, mont=True)
+    z_can = limb.encode(values, FR, mont=False)
+    pad = nv_pad - len(values)
+    if pad:
+        z_can = np.concatenate([z_can, np.zeros((pad, NLIMBS), np.uint32)])
+    return z_mont, z_can
 
 
 class Prover:
@@ -97,9 +133,12 @@ class Prover:
             )
 
         self._h_scalars = jax.jit(self._h_scalars_impl)
+        self._h_scalars_general = jax.jit(self._h_scalars_general_impl)
         self._msm_bits_g1 = jax.jit(functools.partial(pp.msm_bits, ops=jc.G1))
         self._msm_bits_g2 = jax.jit(functools.partial(pp.msm_bits, ops=jc.G2))
         self._msm_g1 = pp.StagedMSM(jc.G1)
+        self._msm_g2 = pp.StagedMSM(jc.G2)
+        self._from_mont = jax.jit(F.from_mont)
 
     # ----------------------------------------------------------- jitted core
     def _matvec_bits(self, name, zbits):
@@ -113,12 +152,21 @@ class Prover:
         )
         return F.mont_reduce(wide)  # one REDC per row
 
-    def _h_scalars_impl(self, zbits):
-        """zbits (nv,) -> H-query scalars (N, 16) canonical digits."""
+    def _matvec_general(self, name, z_mont):
+        """<M_k, z> for general field witness; z_mont (nv, 16) Montgomery."""
+        rows, cols, coeffs = self._mat[name]
+        zz = jnp.take(z_mont, cols, axis=0)  # (nnz, 16)
+        # coeffs stored as c*R^2 (canonical): mont_mul(cR^2, zR) = czR^2, so a
+        # digit-space segment sum + ONE final REDC per row lands in mont form.
+        vals = F.mont_mul(coeffs, zz)
+        acc = jax.ops.segment_sum(vals, rows, num_segments=self.n)
+        wide = jnp.concatenate(
+            [acc, jnp.zeros((self.n, NLIMBS), jnp.uint32)], axis=-1
+        )
+        return F.mont_reduce(wide)
+
+    def _quotient(self, az, bz, cz):
         d = self.domain
-        az = self._matvec_bits("a", zbits)
-        bz = self._matvec_bits("b", zbits)
-        cz = self._matvec_bits("c", zbits)
         a_cos = coset_ntt(intt(az, d), d)
         b_cos = coset_ntt(intt(bz, d), d)
         c_cos = coset_ntt(intt(cz, d), d)
@@ -129,22 +177,30 @@ class Prover:
         h = h.at[-1].set(jnp.zeros(NLIMBS, jnp.uint32))
         return F.from_mont(h)
 
+    def _h_scalars_impl(self, zbits):
+        """zbits (nv,) -> H-query scalars (N, 16) canonical digits."""
+        return self._quotient(
+            self._matvec_bits("a", zbits),
+            self._matvec_bits("b", zbits),
+            self._matvec_bits("c", zbits),
+        )
+
+    def _h_scalars_general_impl(self, z_mont):
+        return self._quotient(
+            self._matvec_general("a", z_mont),
+            self._matvec_general("b", z_mont),
+            self._matvec_general("c", z_mont),
+        )
+
     # ------------------------------------------------------------- host side
-    def prove(self, zbits: np.ndarray, rng_seed: bytes | None = None) -> Proof:
-        """zbits: (num_vars,) uint32 0/1 full witness (z[0] = 1 included)."""
-        assert zbits.shape == (self.cs.num_vars,)
+    def _pad_bits(self, zbits: np.ndarray) -> jnp.ndarray:
         zpad = np.zeros(self.nv_pad, dtype=np.uint32)
         zpad[: self.cs.num_vars] = zbits
-        zpad_j = jnp.asarray(zpad)
+        return jnp.asarray(zpad)
 
-        h_digits = self._h_scalars(jnp.asarray(zbits))
+    def _assemble(self, a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed,
+                  d_aff=None, dsig_aff=None) -> Proof:
         pk = self.pk
-        a_msm = self._msm_bits_g1(pk.a_query, pk.a_inf, zpad_j)
-        b1_msm = self._msm_bits_g1(pk.b_g1_query, pk.b_g1_inf, zpad_j)
-        b2_msm = self._msm_bits_g2(pk.b_g2_query, pk.b_g2_inf, zpad_j)
-        l_msm = self._msm_bits_g1(pk.l_query, pk.l_inf, zpad_j)
-        h_msm = self._msm_g1(pk.h_query, pk.h_inf, h_digits)
-
         A0 = jc.limbs_to_g1(tuple(np.asarray(t) for t in a_msm))
         B1 = jc.limbs_to_g1(tuple(np.asarray(t) for t in b1_msm))
         B2 = jc.limbs_to_g2(tuple(np.asarray(t) for t in b2_msm))
@@ -183,6 +239,59 @@ class Prover:
             a=(a_aff[0], a_aff[1]),
             b=((b_aff[0].c0, b_aff[0].c1), (b_aff[1].c0, b_aff[1].c1)),
             c=(c_aff[0], c_aff[1]),
+            d=d_aff,
+            d_sigma=dsig_aff,
+        )
+
+    def prove(self, zbits: np.ndarray, rng_seed: bytes | None = None) -> Proof:
+        """Bit-witness fast path (ChaChaV3: every wire is 0/1).
+        zbits: (num_vars,) uint32 full witness (z[0] = 1 included)."""
+        assert zbits.shape == (self.cs.num_vars,)
+        zpad_j = self._pad_bits(zbits)
+        h_digits = self._h_scalars(jnp.asarray(zbits))
+        pk = self.pk
+        a_msm = self._msm_bits_g1(pk.a_query, pk.a_inf, zpad_j)
+        b1_msm = self._msm_bits_g1(pk.b_g1_query, pk.b_g1_inf, zpad_j)
+        b2_msm = self._msm_bits_g2(pk.b_g2_query, pk.b_g2_inf, zpad_j)
+        l_msm = self._msm_bits_g1(pk.l_query, pk.l_inf, zpad_j)
+        h_msm = self._msm_g1(pk.h_query, pk.h_inf, h_digits)
+        return self._assemble(a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed)
+
+    # ---------------------------------------------- general/lookup witness
+    def commit(self, z_digits: np.ndarray):
+        """Pedersen commitment over the committed wires: D = sum z_i CK_i,
+        D_sigma = sum z_i (sigma CK_i).  z_digits: (nv_pad, 16) canonical."""
+        pk = self.pk
+        zj = jnp.asarray(z_digits)
+        d = self._msm_g1(pk.ck_query, pk.ck_inf, zj)
+        ds = self._msm_g1(pk.ck_sigma_query, pk.ck_sigma_inf, zj)
+        D = jc.limbs_to_g1(tuple(np.asarray(t) for t in d))
+        DS = jc.limbs_to_g1(tuple(np.asarray(t) for t in ds))
+        d_aff = ec.G1_CURVE.to_affine(D)
+        ds_aff = ec.G1_CURVE.to_affine(DS)
+        return d_aff, ds_aff
+
+    def prove_general(
+        self,
+        z_mont: np.ndarray,
+        z_digits: np.ndarray,
+        rng_seed: bytes | None = None,
+        d_aff=None,
+        dsig_aff=None,
+    ) -> Proof:
+        """Full-field witness path (lookup circuits).  z_mont (nv, 16)
+        Montgomery; z_digits (nv_pad, 16) canonical (padded with zeros)."""
+        assert z_mont.shape == (self.cs.num_vars, NLIMBS)
+        zd = jnp.asarray(z_digits)
+        h_digits = self._h_scalars_general(jnp.asarray(z_mont))
+        pk = self.pk
+        a_msm = self._msm_g1(pk.a_query, pk.a_inf, zd)
+        b1_msm = self._msm_g1(pk.b_g1_query, pk.b_g1_inf, zd)
+        b2_msm = self._msm_g2(pk.b_g2_query, pk.b_g2_inf, zd)
+        l_msm = self._msm_g1(pk.l_query, pk.l_inf, zd)
+        h_msm = self._msm_g1(pk.h_query, pk.h_inf, h_digits)
+        return self._assemble(
+            a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed, d_aff, dsig_aff
         )
 
 

@@ -73,23 +73,38 @@ class ProvingKey:
     l_inf: np.ndarray
     h_query: np.ndarray  # (n_domain, 2, 16) — degree N-1 slot is infinity
     h_inf: np.ndarray
+    # Pedersen commitment key for lookup circuits (BSB22-style): gamma-basis
+    # points for the committed wires + sigma-shifted copies for the proof of
+    # knowledge.  Indexed like l_query (full witness index space, infinity
+    # everywhere except committed slots) so the commitment MSM runs over the
+    # same padded witness vector.  Empty (shape (0,...)) when no lookups.
+    ck_query: np.ndarray = None
+    ck_inf: np.ndarray = None
+    ck_sigma_query: np.ndarray = None
+    ck_sigma_inf: np.ndarray = None
 
     def save(self, path: str):
-        np.savez_compressed(path, **dataclasses.asdict(self))
+        d = {k: v for k, v in dataclasses.asdict(self).items() if v is not None}
+        np.savez_compressed(path, **d)
 
     @classmethod
     def load(cls, path: str) -> "ProvingKey":
         d = np.load(path)
+        kw = {}
+        for f in dataclasses.fields(cls):
+            if f.name in ("n_domain", "num_vars", "num_instance"):
+                continue
+            kw[f.name] = d[f.name] if f.name in d else None
         return cls(
             n_domain=int(d["n_domain"]),
             num_vars=int(d["num_vars"]),
             num_instance=int(d["num_instance"]),
-            **{
-                f.name: d[f.name]
-                for f in dataclasses.fields(cls)
-                if f.name not in ("n_domain", "num_vars", "num_instance")
-            },
+            **kw,
         )
+
+    @property
+    def has_commitment(self) -> bool:
+        return self.ck_query is not None and self.ck_query.size > 0
 
 
 @dataclasses.dataclass
@@ -101,6 +116,11 @@ class VerifyingKey:
     gamma_g2: tuple
     delta_g2: tuple
     ic: list  # [(x, y) or None] per instance slot
+    # lookup-commitment extension: [sigma]2 for the PoK pairing check, and the
+    # instance positions whose values are derived as H(D, slot) instead of
+    # read from the statement.  sigma_g2 is None for pure-R1CS circuits.
+    sigma_g2: tuple = None
+    challenge_slots: list = dataclasses.field(default_factory=list)
 
     def to_json_dict(self) -> dict:
         return {
@@ -109,6 +129,8 @@ class VerifyingKey:
             "gamma_g2": [list(c) for c in self.gamma_g2],
             "delta_g2": [list(c) for c in self.delta_g2],
             "ic": [list(p) if p is not None else None for p in self.ic],
+            "sigma_g2": [list(c) for c in self.sigma_g2] if self.sigma_g2 else None,
+            "challenge_slots": list(map(int, self.challenge_slots)),
         }
 
     @classmethod
@@ -119,6 +141,10 @@ class VerifyingKey:
             gamma_g2=tuple(tuple(c) for c in d["gamma_g2"]),
             delta_g2=tuple(tuple(c) for c in d["delta_g2"]),
             ic=[tuple(p) if p is not None else None for p in d["ic"]],
+            sigma_g2=(
+                tuple(tuple(c) for c in d["sigma_g2"]) if d.get("sigma_g2") else None
+            ),
+            challenge_slots=list(d.get("challenge_slots", [])),
         )
 
 
@@ -185,7 +211,9 @@ def setup(cs: CompiledR1CS, seed: bytes | None = None):
                 + 1
             )
 
-    tau, alpha, beta, gamma, delta = rand(), rand(), rand(), rand(), rand()
+    tau, alpha, beta, gamma, delta, sigma = (
+        rand(), rand(), rand(), rand(), rand(), rand(),
+    )
     n = _next_pow2(cs.num_constraints)
     u, v, w, z_tau = qap_evaluations(cs, tau, n)
 
@@ -196,12 +224,31 @@ def setup(cs: CompiledR1CS, seed: bytes | None = None):
 
     nv = cs.num_vars
     ni = cs.num_instance
+    committed = set(int(i) for i in cs.committed_vars)
+    assert all(i >= ni for i in committed), "committed wires must be private"
     a_pts = [g1.mul(u[i]) for i in range(nv)]
     b1_pts = [g1.mul(v[i]) for i in range(nv)]
     b2_pts = [g2.mul(v[i]) for i in range(nv)]
     kappa = [(beta * u[i] + alpha * v[i] + w[i]) % P_FR for i in range(nv)]
     ic_pts = [g1.mul(k * gamma_inv % P_FR) for k in kappa[:ni]]
-    l_pts = [g1.mul(k * delta_inv % P_FR) for k in kappa[ni:]]
+    # committed wires ride the gamma basis (they fold into vk_x through the
+    # commitment D), so they are EXCLUDED from the delta-side L query.
+    l_pts = [
+        ec.G1_CURVE.infinity()
+        if (ni + j) in committed
+        else g1.mul(k * delta_inv % P_FR)
+        for j, k in enumerate(kappa[ni:])
+    ]
+    ck_pts = [
+        g1.mul(kappa[i] * gamma_inv % P_FR) if i in committed else ec.G1_CURVE.infinity()
+        for i in range(nv)
+    ]
+    ck_sigma_pts = [
+        g1.mul(kappa[i] * gamma_inv % P_FR * sigma % P_FR)
+        if i in committed
+        else ec.G1_CURVE.infinity()
+        for i in range(nv)
+    ]
     zd = z_tau * delta_inv % P_FR
     h_pts = []
     t_pow = zd
@@ -238,6 +285,11 @@ def setup(cs: CompiledR1CS, seed: bytes | None = None):
     l_full = [ec.G1_CURVE.infinity()] * ni + l_pts
     l_arr, l_inf = pad_g1(l_full, nv_pad)
     h_arr, h_inf = pad_g1(h_pts, n)
+    if committed:
+        ck_arr, ck_inf = pad_g1(ck_pts, nv_pad)
+        cks_arr, cks_inf = pad_g1(ck_sigma_pts, nv_pad)
+    else:
+        ck_arr = ck_inf = cks_arr = cks_inf = None
 
     pk = ProvingKey(
         n_domain=n,
@@ -258,6 +310,10 @@ def setup(cs: CompiledR1CS, seed: bytes | None = None):
         l_inf=l_inf,
         h_query=h_arr,
         h_inf=h_inf,
+        ck_query=ck_arr,
+        ck_inf=ck_inf,
+        ck_sigma_query=cks_arr,
+        ck_sigma_inf=cks_inf,
     )
     vk = VerifyingKey(
         alpha_g1=_g1_aff(g1.mul(alpha)),
@@ -265,5 +321,7 @@ def setup(cs: CompiledR1CS, seed: bytes | None = None):
         gamma_g2=_g2_aff(g2.mul(gamma)),
         delta_g2=_g2_aff(g2.mul(delta)),
         ic=[_g1_aff(p) for p in ic_pts],
+        sigma_g2=_g2_aff(g2.mul(sigma)) if committed else None,
+        challenge_slots=[int(i) for i in cs.challenge_vars],
     )
     return pk, vk

@@ -33,7 +33,12 @@ def _g2_point(aff):
 
 
 def verify(proof: Proof, vk: VerifyingKey, public_inputs: list[int]) -> bool:
-    """public_inputs: the instance values z[1..] (z[0]=1 is implicit)."""
+    """public_inputs: the instance values z[1..] (z[0]=1 is implicit).
+
+    For lookup circuits (vk.sigma_g2 set) the challenge slots in
+    public_inputs are IGNORED — the verifier derives them as H(D, slot) and
+    additionally checks the commitment's proof of knowledge
+    e(D, [sigma]2) == e(D_sigma, [1]2)."""
     if len(public_inputs) != len(vk.ic) - 1:
         return False
     try:
@@ -45,15 +50,42 @@ def verify(proof: Proof, vk: VerifyingKey, public_inputs: list[int]) -> bool:
                 return False
         if not ec.G2_CURVE.is_on_curve(b):
             return False
+
+        public_inputs = [int(v) % ec.R_ORDER for v in public_inputs]
+        extra_pairs = []
+        d_pt = None
+        if vk.sigma_g2 is not None:
+            from .prove import lookup_challenge
+
+            if proof.d is None or proof.d_sigma is None:
+                return False
+            d_pt = _g1_point(proof.d)
+            ds_pt = _g1_point(proof.d_sigma)
+            if not (
+                ec.G1_CURVE.is_on_curve(d_pt) and ec.G1_CURVE.is_on_curve(ds_pt)
+            ):
+                return False
+            # proof of knowledge: e(D, sigma*G2) * e(-D_sigma, G2) == 1
+            if not ec.multi_pairing_is_one(
+                [
+                    (d_pt, _g2_point(vk.sigma_g2)),
+                    (ec.G1_CURVE.neg(ds_pt), ec.G2_GEN),
+                ]
+            ):
+                return False
+            for slot in vk.challenge_slots:
+                public_inputs[slot - 1] = lookup_challenge(proof.d, slot)
+
         vk_x = _g1_point(vk.ic[0])
         for val, icp in zip(public_inputs, vk.ic[1:]):
-            val = int(val) % ec.R_ORDER
             if val == 0:
                 continue
             pt = _g1_point(icp)
             vk_x = ec.G1_CURVE.add(
                 vk_x, pt if val == 1 else ec.G1_CURVE.mul(pt, val)
             )
+        if d_pt is not None:
+            vk_x = ec.G1_CURVE.add(vk_x, d_pt)
         return ec.multi_pairing_is_one(
             [
                 (ec.G1_CURVE.neg(a), b),

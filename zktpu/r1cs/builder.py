@@ -85,11 +85,37 @@ class CompiledR1CS:
     c_rows: np.ndarray
     c_cols: np.ndarray
     c_coeffs: list
+    # lookup-argument metadata (empty for pure-R1CS circuits).
+    # committed_vars: witness indices bound by the Pedersen commitment D;
+    # challenge_vars: public-input indices whose values the verifier derives
+    # as H(D, i) rather than reading from the statement.
+    committed_vars: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int64)
+    )
+    challenge_vars: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int64)
+    )
 
     @property
     def num_instance(self) -> int:
         """Size of the statement part of z: [1, publics]."""
         return 1 + self.num_public
+
+    @property
+    def has_commitment(self) -> bool:
+        return len(self.committed_vars) > 0
+
+
+@dataclasses.dataclass
+class LookupTable:
+    """Log-derivative lookup table (reference analog: gnark's
+    std/lookup/logderivlookup used by circuits/aesV2/common.go:28-39).
+
+    values are circuit constants; queries are (q_lc, out_var) pairs recorded
+    during synthesis and discharged by Builder.finalize_lookups()."""
+
+    values: list
+    queries: list = dataclasses.field(default_factory=list)
 
 
 class Builder:
@@ -98,6 +124,9 @@ class Builder:
         self.num_public = 0
         self._public_sealed = False
         self.constraints: list[tuple[dict, dict, dict]] = []
+        self.committed: set[int] = set()
+        self.challenge_slots: list[int] = []
+        self.tables: list[LookupTable] = []
 
     # ------------------------------------------------------------ allocation
     def pub(self, n: int = 1) -> list[int]:
@@ -177,6 +206,64 @@ class Builder:
     def from_binary(bits: list[dict]) -> dict:
         return lc_add(*[lc_scale(b, 1 << i) for i, b in enumerate(bits)])
 
+    # ------------------------------------------------------------- lookups
+    def challenge(self) -> dict:
+        """Allocate a public input whose value the VERIFIER derives as
+        H(commitment, slot) — the Fiat-Shamir challenge for the lookup
+        argument (BSB22-style in-circuit randomness; reference analog: the
+        commitment extension gnark's Groth16 uses for logderivlookup [dep])."""
+        v = self.pub(1)[0]
+        self.challenge_slots.append(v)
+        return lc_var(v)
+
+    def mark_committed(self, var: int):
+        self.committed.add(var)
+
+    def add_table(self, values: list[int]) -> LookupTable:
+        t = LookupTable(values=[v % R for v in values])
+        self.tables.append(t)
+        return t
+
+    def lookup(self, table: LookupTable, q: dict) -> dict:
+        """Record a lookup; returns the output wire (prover fills table[q]).
+
+        The (q, out) pair is bound into the commitment so the challenge is
+        sampled after them (soundness of logUp)."""
+        qc = lc_is_const(q)
+        if qc is None and (len(q) != 1 or 0 in q or next(iter(q.values())) != 1):
+            # materialize compound LCs so a single committed var carries q
+            v = self.aux(1)[0]
+            self.assert_eq(lc_var(v), q)
+            q = lc_var(v)
+        out = self.aux(1)[0]
+        if qc is None:
+            self.mark_committed(next(iter(q)))
+        self.mark_committed(out)
+        table.queries.append((q, out))
+        return lc_var(out)
+
+    def finalize_lookups(self, alpha: dict, beta: dict):
+        """Emit the logUp constraints:  sum_i 1/(a - (q_i + b*out_i)) ==
+        sum_j m_j/(a - (j + b*T_j))  per table, with committed q/out/m."""
+        for table in self.tables:
+            f_sum = {}
+            for q, out_v in table.queries:
+                prod = self.mul(beta, lc_var(out_v))  # b*out (1 constraint)
+                f = self.aux(1)[0]
+                denom = lc_sub(alpha, lc_add(q, prod))
+                self.constrain(denom, lc_var(f), lc_const(1))
+                f_sum = lc_add(f_sum, lc_var(f))
+            g_sum = {}
+            for j, tv in enumerate(table.values):
+                m = self.aux(1)[0]
+                self.mark_committed(m)
+                g = self.aux(1)[0]
+                # a - j - b*T_j is linear (j, T_j constants)
+                denom = lc_sub(alpha, lc_add(lc_const(j), lc_scale(beta, tv)))
+                self.constrain(denom, lc_var(g), lc_var(m))
+                g_sum = lc_add(g_sum, lc_var(g))
+            self.assert_eq(f_sum, g_sum)
+
     # -------------------------------------------------------------- compile
     def compile(self) -> CompiledR1CS:
         def flat(which):
@@ -202,6 +289,8 @@ class Builder:
             a_rows=ar, a_cols=ac, a_coeffs=av,
             b_rows=br, b_cols=bc, b_coeffs=bv,
             c_rows=cr, c_cols=cc, c_coeffs=cv,
+            committed_vars=np.asarray(sorted(self.committed), dtype=np.int64),
+            challenge_vars=np.asarray(self.challenge_slots, dtype=np.int64),
         )
 
     # ------------------------------------------------- (slow) witness check
