@@ -112,6 +112,106 @@ def chacha_public_bits(counter: int, nonce: bytes, pt: bytes, ct: bytes) -> list
     return out
 
 
+class AESProverService:
+    """Reference analog: AESProver (provers.go:172-230) — one service serves
+    both key sizes, dispatched by the cipher name (prove_impl.go:36-41).
+    Orchestrates the two-phase lookup witness: phase-1 eval (challenges = 0)
+    fixes the committed wires, commit -> challenges -> phase-2 eval -> prove."""
+
+    def __init__(self, cipher: str, cs, pk):
+        from ..groth16.prove import Prover
+
+        self.cipher = cipher
+        self.cs = cs
+        self.prover = Prover(cs, pk)
+
+    def prove(self, key: bytes, nonce: bytes, counter: int, inp: bytes):
+        import jax
+        import jax.numpy as jnp
+
+        from ..circuits import aes_v2 as av
+        from ..field import limb
+        from ..field.params import FR
+        from ..groth16.prove import lookup_challenge
+
+        key_len = av.VARIANTS[self.cipher]["key_bytes"]
+        if len(key) != key_len:
+            raise ValueError(f"key length must be {key_len}")
+        if len(nonce) != 12:
+            raise ValueError("nonce length must be 12")
+        if len(inp) != 64:
+            raise ValueError("input length must be 64")
+        ct = av.aes_ctr_encrypt(key, nonce, counter, inp)
+
+        nb = np.frombuffer(nonce, np.uint8).astype(np.uint32)[None]
+        ptb = np.frombuffer(inp, np.uint8).astype(np.uint32)[None]
+        ctb = np.frombuffer(ct, np.uint8).astype(np.uint32)[None]
+        kb = np.frombuffer(key, np.uint8).astype(np.uint32)[None]
+        cnt = np.array([counter], np.uint32)
+
+        if not hasattr(self, "_wfn"):
+            self._wfn = jax.jit(
+                lambda *a: av.witness_canonical(self.cipher, *a)
+            )
+        zero_eta = np.zeros((1, 16), np.uint32)
+        z1 = np.asarray(self._wfn(nb, cnt, ptb, ctb, kb, zero_eta, zero_eta))[0]
+        z1_pad = np.zeros((self.prover.nv_pad, 16), np.uint32)
+        z1_pad[: z1.shape[0]] = z1
+        d_aff, ds_aff = self.prover.commit(z1_pad)
+
+        slots = [int(s) for s in self.cs.challenge_vars]
+        eta1 = lookup_challenge(d_aff, slots[0])
+        eta2 = lookup_challenge(d_aff, slots[1])
+        e1 = limb.encode([eta1], FR, mont=False)
+        e2 = limb.encode([eta2], FR, mont=False)
+        z2 = np.asarray(self._wfn(nb, cnt, ptb, ctb, kb, e1, e2))[0]
+
+        from ..field.jnp_field import JnpField
+
+        F = JnpField(FR)
+        z_mont = np.asarray(jax.jit(F.to_mont)(z2))
+        z2_pad = np.zeros((self.prover.nv_pad, 16), np.uint32)
+        z2_pad[: z2.shape[0]] = z2
+        proof = self.prover.prove_general(
+            z_mont, z2_pad, d_aff=d_aff, dsig_aff=ds_aff
+        )
+        return proof_to_bytes_committed(proof), ct
+
+
+def proof_to_bytes_committed(proof) -> bytes:
+    """AES proofs carry the commitment points: magic2 + 8 G1/G2 coords + D + Dsigma."""
+
+    def be32(x):
+        return int(x).to_bytes(32, "big")
+
+    return b"".join(
+        [
+            b"ZKT2",
+            be32(proof.a[0]), be32(proof.a[1]),
+            be32(proof.b[0][0]), be32(proof.b[0][1]),
+            be32(proof.b[1][0]), be32(proof.b[1][1]),
+            be32(proof.c[0]), be32(proof.c[1]),
+            be32(proof.d[0]), be32(proof.d[1]),
+            be32(proof.d_sigma[0]), be32(proof.d_sigma[1]),
+        ]
+    )
+
+
+def proof_from_bytes_committed(data: bytes):
+    from ..groth16.prove import Proof
+
+    if len(data) != 4 + 32 * 12 or data[:4] != b"ZKT2":
+        raise ValueError("bad committed-proof encoding")
+    v = [int.from_bytes(data[4 + 32 * i : 4 + 32 * (i + 1)], "big") for i in range(12)]
+    return Proof(
+        a=(v[0], v[1]),
+        b=((v[2], v[3]), (v[4], v[5])),
+        c=(v[6], v[7]),
+        d=(v[8], v[9]),
+        d_sigma=(v[10], v[11]),
+    )
+
+
 class ChaChaProverService:
     """Reference analog: ChaChaProver (provers.go:65-170)."""
 
@@ -154,14 +254,15 @@ def init_algorithm(algorithm_id: int, pk_bytes: bytes, r1cs_bytes: bytes) -> boo
             return False
         if name in _PROVERS:
             return True
-        if name != "chacha20":
-            return False  # AES services land with the aesV2 circuit
         from ..groth16.setup import ProvingKey
         from ..r1cs import serialize as r1cs_ser
 
         cs = r1cs_ser.loads(r1cs_bytes)
         pk = ProvingKey.load(io.BytesIO(pk_bytes))
-        _PROVERS[name] = ChaChaProverService(cs, pk)
+        if name == "chacha20":
+            _PROVERS[name] = ChaChaProverService(cs, pk)
+        else:
+            _PROVERS[name] = AESProverService(name, cs, pk)
         return True
     except Exception as e:  # panic -> false at the boundary (prove_impl.go:66-71)
         print(e)
@@ -215,13 +316,42 @@ class ChaChaVerifierService:
         return g16_verify(proof, self.vk, pub)
 
 
-_VERIFIERS: dict[str, ChaChaVerifierService] = {}
+class AESVerifierService:
+    """Reference analog: AESVerifier (verifiers.go:110-152): publicSignals =
+    ct(64) | nonce(12) | counter(4, BIG-endian — core_test.go:205, the
+    asymmetry vs ChaCha's LE) | pt(64); instance order nonce, counter, pt,
+    ct, then the two lookup-challenge slots (verifier-derived)."""
+
+    def __init__(self, vk):
+        self.vk = vk
+
+    def verify(self, proof_bytes: bytes, public_signals: bytes) -> bool:
+        from ..groth16.verify import verify as g16_verify
+
+        if len(public_signals) != 144:
+            return False
+        ct = public_signals[0:64]
+        nonce = public_signals[64:76]
+        counter = struct.unpack(">I", public_signals[76:80])[0]  # BE
+        pt = public_signals[80:144]
+        try:
+            proof = proof_from_bytes_committed(proof_bytes)
+        except ValueError:
+            return False
+        pub = list(nonce) + [counter] + list(pt) + list(ct) + [0, 0]
+        return g16_verify(proof, self.vk, pub)
+
+
+_VERIFIERS: dict[str, object] = {}
 
 
 def register_verifier(cipher: str, vk) -> None:
     """Reference analog: the go:embed vk table built in init()
     (verify_impl.go:24-60); explicit registration replaces build-time embed."""
-    _VERIFIERS[cipher] = ChaChaVerifierService(vk)
+    if cipher == "chacha20":
+        _VERIFIERS[cipher] = ChaChaVerifierService(vk)
+    else:
+        _VERIFIERS[cipher] = AESVerifierService(vk)
 
 
 def load_verifiers_from_dir(path: str) -> None:

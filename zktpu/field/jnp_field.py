@@ -197,6 +197,31 @@ class JnpField:
         """Batched inversion by Fermat (a^(p-2)); inv(0) = 0."""
         return self.pow_const(a, self.spec.modulus - 2)
 
+    def batch_inv(self, a):
+        """Montgomery-trick batch inversion over ALL leading dims of a
+        (..., 16) Montgomery array: two log-depth prefix-product scans + ONE
+        Fermat inversion instead of one 254-squaring chain per element.
+        Zero entries invert to zero."""
+        shape = a.shape
+        flat = a.reshape(-1, NLIMBS)
+        n = flat.shape[0]
+        one = jnp.broadcast_to(jnp.asarray(self.one_mont, dtype=_U32), flat.shape)
+        is_zero = self.is_zero(flat)
+        x = jnp.where(is_zero[:, None], one, flat)
+        # inclusive prefix products pp_i = x_0 * ... * x_i
+        pp = jax.lax.associative_scan(self.mont_mul, x, axis=0)
+        # suffix products sp_i = x_{i+1} * ... * x_{n-1}
+        sp = jax.lax.associative_scan(
+            self.mont_mul, x[::-1], axis=0
+        )[::-1]
+        sp = jnp.concatenate([sp[1:], one[:1]], axis=0)
+        total_inv = self.inv(pp[-1:])  # single element
+        # x_i^{-1} = pp_{i-1} * sp_i * total_inv
+        pp_prev = jnp.concatenate([one[:1], pp[:-1]], axis=0)
+        inv = self.mont_mul(self.mont_mul(pp_prev, sp), total_inv)
+        inv = jnp.where(is_zero[:, None], jnp.zeros_like(inv), inv)
+        return inv.reshape(shape)
+
     # ---------------------------------------------- small-scalar convenience
     def mul_small(self, a, k: int):
         """a * k for tiny static k >= 0 via additions (k <= 4 typical)."""

@@ -39,9 +39,36 @@ def generate_chacha20(out_dir: str, seed: bytes | None):
     print("chacha20: artifacts written")
 
 
+def _generate_aes(cipher: str, short: str):
+    def gen(out_dir: str, seed: bytes | None):
+        from .circuits import aes_v2
+        from .groth16 import setup as g16_setup
+        from .r1cs import serialize as r1cs_ser
+
+        t0 = time.time()
+        builder = aes_v2.synthesize(cipher)
+        cs = builder.compile()
+        print(
+            f"{cipher}: {cs.num_constraints} constraints, {cs.num_vars} vars, "
+            f"{cs.num_public} public, {len(cs.committed_vars)} committed "
+            f"({time.time() - t0:.1f}s)"
+        )
+        r1cs_ser.save(cs, os.path.join(out_dir, f"r1cs.{short}"))
+        t0 = time.time()
+        pk, vk = g16_setup.setup(cs, seed=seed)
+        print(f"{cipher}: setup done ({time.time() - t0:.1f}s)")
+        pk.save(os.path.join(out_dir, f"pk.{short}"))
+        with open(os.path.join(out_dir, f"vk.{short}"), "w") as f:
+            json.dump(vk.to_json_dict(), f)
+        print(f"{cipher}: artifacts written")
+
+    return gen
+
+
 GENERATORS = {
     "chacha20": generate_chacha20,
-    # aes-128-ctr / aes-256-ctr land with the aesV2 lookup circuit (SURVEY C5)
+    "aes-128-ctr": _generate_aes("aes-128-ctr", "aes128"),
+    "aes-256-ctr": _generate_aes("aes-256-ctr", "aes256"),
 }
 
 
