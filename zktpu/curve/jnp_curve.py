@@ -101,8 +101,35 @@ G1 = Fp1Ops()
 G2 = Fp2Ops()
 
 
+def _pallas_enabled() -> bool:
+    import os
+
+    v = os.environ.get("ZKTPU_PALLAS", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
+def _pallas_n(F, p) -> int:
+    """Flattened lane count if the pallas fast path applies, else 0."""
+    if not isinstance(F, Fp1Ops) or not _pallas_enabled():
+        return 0
+    n = 1
+    for d in p[0].shape[:-1]:
+        n *= d
+    return n if n % 512 == 0 else 0
+
+
 def point_double(F, p):
     """dbl-2009-l, a=0.  p = (x, y, z); infinity (z=0) maps to infinity."""
+    if _pallas_n(F, p):
+        from . import pallas_ops
+
+        return pallas_ops.point_double(p)
     x, y, z = p
     xx = F.sqr(x)
     yy = F.sqr(y)
@@ -119,6 +146,10 @@ def point_double(F, p):
 
 def point_add(F, p, q):
     """Complete Jacobian + Jacobian addition (add-2007-bl + masked selects)."""
+    if _pallas_n(F, p) and p[0].shape == q[0].shape:
+        from . import pallas_ops
+
+        return pallas_ops.point_add(p, q)
     x1, y1, z1 = p
     x2, y2, z2 = q
     p_inf = F.is_zero(z1)

@@ -160,7 +160,23 @@ class JnpField:
         return self._cond_sub_p(res)
 
     def mont_mul(self, a, b):
-        """(a*R)(b*R) -> a*b*R mod p."""
+        """(a*R)(b*R) -> a*b*R mod p.  Large batches on TPU route to the
+        fused Pallas kernel (zktpu.curve.pallas_ops)."""
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        n = 1
+        for d in shape[:-1]:
+            n *= d
+        if n % 512 == 0:
+            from ..curve.jnp_curve import _pallas_enabled
+
+            if _pallas_enabled():
+                from ..curve import pallas_ops
+
+                return pallas_ops.mont_mul(
+                    jnp.broadcast_to(a, shape),
+                    jnp.broadcast_to(b, shape),
+                    field=self.spec.name,
+                )
         return self.mont_reduce(self._mul_acc(a, b))
 
     def mont_sqr(self, a):
