@@ -127,9 +127,9 @@ def _pallas_n(F, p) -> int:
 def point_double(F, p):
     """dbl-2009-l, a=0.  p = (x, y, z); infinity (z=0) maps to infinity."""
     if _pallas_n(F, p):
-        from . import pallas_ops
+        from . import pallas_f32
 
-        return pallas_ops.point_double(p)
+        return pallas_f32.point_double(p)
     x, y, z = p
     xx = F.sqr(x)
     yy = F.sqr(y)
@@ -147,9 +147,9 @@ def point_double(F, p):
 def point_add(F, p, q):
     """Complete Jacobian + Jacobian addition (add-2007-bl + masked selects)."""
     if _pallas_n(F, p) and p[0].shape == q[0].shape:
-        from . import pallas_ops
+        from . import pallas_f32
 
-        return pallas_ops.point_add(p, q)
+        return pallas_f32.point_add(p, q)
     x1, y1, z1 = p
     x2, y2, z2 = q
     p_inf = F.is_zero(z1)

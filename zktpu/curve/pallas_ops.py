@@ -49,56 +49,68 @@ FR_C = FieldConsts(_FR)
 TILE = 512
 
 
-def _carry16(t):
-    """(16, T) digits < 2^32 -> canonical digits + carry-out row."""
-    rows = []
+# Field elements inside kernels are PYTHON LISTS of 16 row vectors (each
+# (T,) uint32): all updates are plain per-row arithmetic — Mosaic has no
+# scatter, and row lists sidestep it entirely while keeping everything
+# register/VMEM-resident.
+
+
+def _carry16(rows):
+    """16 rows of digits < 2^32 -> (canonical rows, carry-out row)."""
+    out = []
     carry = None
     for k in range(NLIMBS):
-        v = t[k] if carry is None else t[k] + carry
-        rows.append(v & MASK)
+        v = rows[k] if carry is None else rows[k] + carry
+        out.append(v & MASK)
         carry = v >> LIMB_BITS
-    return jnp.stack(rows), carry
+    return out, carry
 
 
-def _addrow_const(a, consts):
-    """a (16,T) + per-limb python-int scalars (no array constant capture —
-    Pallas kernels may only close over scalars)."""
-    return jnp.stack([a[i] + np.uint32(int(consts[i])) for i in range(NLIMBS)])
+def _sel_rows(cond, a, b):
+    return [jnp.where(cond, x, y) for x, y in zip(a, b)]
 
 
 def _cond_sub_p(a, c=None):
     """canonical a < 2p -> a mod p via add (2^256 - p), keep on carry-out."""
     c = c or FP_C
-    s, cout = _carry16(_addrow_const(a, c.rbar_limbs))
-    return jnp.where((cout > 0)[None, :], s, a)
+    s, cout = _carry16(
+        [a[i] + np.uint32(int(c.rbar_limbs[i])) for i in range(NLIMBS)]
+    )
+    return _sel_rows(cout > 0, s, a)
 
 
 def k_add(a, b, c=None):
-    return _cond_sub_p(_carry16(a + b)[0], c)
+    return _cond_sub_p(_carry16([x + y for x, y in zip(a, b)])[0], c)
 
 
 def k_sub(a, b, c=None):
     c2 = c or FP_C
-    t = _addrow_const(a + (MASK - b), c2.p_limbs)
-    t = t.at[0].add(np.uint32(1))
+    t = [
+        a[i] + np.uint32(int(c2.p_limbs[i])) + (MASK - b[i])
+        for i in range(NLIMBS)
+    ]
+    t[0] = t[0] + np.uint32(1)
     return _cond_sub_p(_carry16(t)[0], c2)
 
 
 def k_mul(a, b, c=None):
-    """Montgomery product, fully unrolled: (16,T)x(16,T) -> (16,T)."""
+    """Montgomery product, fully unrolled over row lists."""
     c2 = c or FP_C
-    t = jnp.zeros((2 * NLIMBS,) + a.shape[1:], jnp.uint32)
+    zero = jnp.zeros_like(a[0])
+    t = [zero] * (2 * NLIMBS + 1)
     for i in range(NLIMBS):
-        p = a[i][None, :] * b  # (16, T), exact in uint32
-        t = t.at[i : i + NLIMBS].add(p & MASK)
-        t = t.at[i + 1 : i + NLIMBS + 1].add(p >> LIMB_BITS)
+        for k in range(NLIMBS):
+            p = a[i] * b[k]  # exact in uint32
+            t[i + k] = t[i + k] + (p & MASK)
+            t[i + k + 1] = t[i + k + 1] + (p >> LIMB_BITS)
     for i in range(NLIMBS):
         m = (t[i] * c2.ninv) & MASK
-        mp = jnp.stack([m * np.uint32(int(c2.p_limbs[k])) for k in range(NLIMBS)])
-        t = t.at[i : i + NLIMBS].add(mp & MASK)
-        t = t.at[i + 1 : i + NLIMBS + 1].add(mp >> LIMB_BITS)
-        t = t.at[i + 1].add(t[i] >> LIMB_BITS)
-    return _cond_sub_p(_carry16(t[NLIMBS:])[0], c2)
+        for k in range(NLIMBS):
+            mp = m * np.uint32(int(c2.p_limbs[k]))
+            t[i + k] = t[i + k] + (mp & MASK)
+            t[i + k + 1] = t[i + k + 1] + (mp >> LIMB_BITS)
+        t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
+    return _cond_sub_p(_carry16(t[NLIMBS : 2 * NLIMBS])[0], c2)
 
 
 def k_sqr(a, c=None):
@@ -106,11 +118,14 @@ def k_sqr(a, c=None):
 
 
 def _k_is_zero(z):
-    return jnp.all(z == 0, axis=0)  # (T,)
+    acc = z[0]
+    for r in z[1:]:
+        acc = acc | r
+    return acc == 0  # (T,)
 
 
 def _k_sel(cond, a, b):
-    return jnp.where(cond[None, :], a, b)
+    return _sel_rows(cond, a, b)
 
 
 def _k_double(x, y, z):
@@ -156,33 +171,47 @@ def _padd_body(x1, y1, z1, x2, y2, z2):
     x3 = _k_sel(is_dbl, dx, x3)
     y3 = _k_sel(is_dbl, dy, y3)
     z3 = _k_sel(is_dbl, dz, z3)
-    z3 = _k_sel(is_cancel, jnp.zeros_like(z3), z3)
+    z3 = _k_sel(is_cancel, [jnp.zeros_like(r) for r in z3], z3)
     x3 = _k_sel(p_inf, x2, _k_sel(q_inf, x1, x3))
     y3 = _k_sel(p_inf, y2, _k_sel(q_inf, y1, y3))
     z3 = _k_sel(p_inf, z2, _k_sel(q_inf, z1, z3))
     return x3, y3, z3
 
 
+def _rows(ref):
+    # each limb row reshaped to the native (sublane, lane) vreg tile so every
+    # per-row op runs at full VPU width (1-D rows got catastrophic layouts)
+    t = ref.shape[-1]
+    return [ref[i].reshape(t // 128, 128) for i in range(NLIMBS)]
+
+
+def _store(ref, rows):
+    t = ref.shape[-1]
+    ref[:] = jnp.stack([r.reshape(t) for r in rows])
+
+
 def _padd_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
-    rx, ry, rz = _padd_body(x1[:], y1[:], z1[:], x2[:], y2[:], z2[:])
-    ox[:] = rx
-    oy[:] = ry
-    oz[:] = rz
+    rx, ry, rz = _padd_body(
+        _rows(x1), _rows(y1), _rows(z1), _rows(x2), _rows(y2), _rows(z2)
+    )
+    _store(ox, rx)
+    _store(oy, ry)
+    _store(oz, rz)
 
 
 def _pdbl_kernel(x, y, z, ox, oy, oz):
-    rx, ry, rz = _k_double(x[:], y[:], z[:])
-    ox[:] = rx
-    oy[:] = ry
-    oz[:] = rz
+    rx, ry, rz = _k_double(_rows(x), _rows(y), _rows(z))
+    _store(ox, rx)
+    _store(oy, ry)
+    _store(oz, rz)
 
 
 def _fp_mul_kernel(a, b, o):
-    o[:] = k_mul(a[:], b[:], FP_C)
+    _store(o, k_mul(_rows(a), _rows(b), FP_C))
 
 
 def _fr_mul_kernel(a, b, o):
-    o[:] = k_mul(a[:], b[:], FR_C)
+    _store(o, k_mul(_rows(a), _rows(b), FR_C))
 
 
 def _tile_of(n):

@@ -170,9 +170,9 @@ class JnpField:
             from ..curve.jnp_curve import _pallas_enabled
 
             if _pallas_enabled():
-                from ..curve import pallas_ops
+                from ..curve import pallas_f32
 
-                return pallas_ops.mont_mul(
+                return pallas_f32.mont_mul(
                     jnp.broadcast_to(a, shape),
                     jnp.broadcast_to(b, shape),
                     field=self.spec.name,

@@ -230,6 +230,17 @@ def msm_bits(points, inf_mask, bits, ops=jc.G1):
         jnp.broadcast_to(one, zshape),
         jnp.zeros(zshape, jnp.uint32),
     )
+    # On TPU, do a true halving tree (total work ~n adds) with an unrolled
+    # python loop — G1 levels hit the fused Pallas kernel; G2 levels are
+    # plain jnp but still benefit from the 15x work cut vs the full-width
+    # fori scan.  Below the tile size, fall through to the fori path.
+    if jc._pallas_enabled() and n > 512:
+        while n > 512:
+            h = n // 2
+            X, Y, Z = jc.point_add(
+                ops, (X[:h], Y[:h], Z[:h]), (X[h:], Y[h:], Z[h:])
+            )
+            n = h
     # log-depth halving tree as a fori_loop over a fixed-width buffer: at step
     # k the live prefix has n >> k entries; masked lanes stay at infinity.
     logn = n.bit_length() - 1
