@@ -246,16 +246,24 @@ class Prover:
     def prove(self, zbits: np.ndarray, rng_seed: bytes | None = None) -> Proof:
         """Bit-witness fast path (ChaChaV3: every wire is 0/1).
         zbits: (num_vars,) uint32 full witness (z[0] = 1 included)."""
+        from ..utils.metrics import stage
+
         assert zbits.shape == (self.cs.num_vars,)
         zpad_j = self._pad_bits(zbits)
-        h_digits = self._h_scalars(jnp.asarray(zbits))
         pk = self.pk
-        a_msm = self._msm_bits_g1(pk.a_query, pk.a_inf, zpad_j)
-        b1_msm = self._msm_bits_g1(pk.b_g1_query, pk.b_g1_inf, zpad_j)
-        b2_msm = self._msm_bits_g2(pk.b_g2_query, pk.b_g2_inf, zpad_j)
-        l_msm = self._msm_bits_g1(pk.l_query, pk.l_inf, zpad_j)
-        h_msm = self._msm_g1(pk.h_query, pk.h_inf, h_digits)
-        return self._assemble(a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed)
+        with stage("prove.h_scalars", items=self.n):
+            h_digits = jax.block_until_ready(self._h_scalars(jnp.asarray(zbits)))
+        with stage("prove.msm_witness", items=4 * self.nv_pad):
+            a_msm = self._msm_bits_g1(pk.a_query, pk.a_inf, zpad_j)
+            b1_msm = self._msm_bits_g1(pk.b_g1_query, pk.b_g1_inf, zpad_j)
+            b2_msm = self._msm_bits_g2(pk.b_g2_query, pk.b_g2_inf, zpad_j)
+            l_msm = jax.block_until_ready(
+                self._msm_bits_g1(pk.l_query, pk.l_inf, zpad_j)
+            )
+        with stage("prove.msm_h", items=self.n):
+            h_msm = jax.block_until_ready(self._msm_g1(pk.h_query, pk.h_inf, h_digits))
+        with stage("prove.assemble"):
+            return self._assemble(a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed)
 
     # ---------------------------------------------- general/lookup witness
     def commit(self, z_digits: np.ndarray):
