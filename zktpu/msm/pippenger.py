@@ -155,6 +155,87 @@ def stage_reduce(BX, BY, BZ, ops=jc.G1):
     return TX[:, 1], TY[:, 1], TZ[:, 1]  # (32, coord): window sums
 
 
+def stage_buckets_tree(ds, px, py, Z, ops=jc.G1):
+    """Work-efficient bucket accumulation: pairwise block merging.
+
+    Replaces scan+tail-scatter (O(N log N) point adds) with a binary merge
+    tree doing EXACTLY one candidate add per merge (N-1 adds total).  Each
+    block tracks its leftmost/rightmost segment (id, partial-sum); a segment
+    is flushed to its bucket the moment both boundaries are interior — so
+    every bucket is written exactly once (collision-free .set scatter).
+
+    ds (W, N) sorted digits; px/py/Z (W, N, coord) lifted Jacobian points.
+    Returns (BX, BY, BZ) with shape (W, NBUCKETS, coord)."""
+    w, n = ds.shape
+    cdim = px.ndim - 2
+    bshape = (w, NBUCKETS) + px.shape[2:]
+    BX = jnp.zeros(bshape, jnp.uint32)
+    BY = jnp.zeros(bshape, jnp.uint32)
+    BZ = jnp.zeros(bshape, jnp.uint32)
+
+    def cexp(m):  # lift a (W, k) mask over coord dims
+        return m.reshape(m.shape + (1,) * cdim)
+
+    fid, lid = ds, ds
+    fX, fY, fZ = px, py, Z
+    lX, lY, lZ = px, py, Z
+
+    while n > 1:
+        half = n // 2
+        afid, alid = fid[:, 0::2], lid[:, 0::2]
+        bfid, blid = fid[:, 1::2], lid[:, 1::2]
+        aF = (fX[:, 0::2], fY[:, 0::2], fZ[:, 0::2])
+        aL = (lX[:, 0::2], lY[:, 0::2], lZ[:, 0::2])
+        bF = (fX[:, 1::2], fY[:, 1::2], fZ[:, 1::2])
+        bL = (lX[:, 1::2], lY[:, 1::2], lZ[:, 1::2])
+
+        join = alid == bfid
+        a_single = afid == alid
+        b_single = bfid == blid
+        cand = jc.point_add(ops, aL, bF)  # the one add per merge
+
+        js = cexp(join & a_single)
+        new_fX = jnp.where(js, cand[0], aF[0])
+        new_fY = jnp.where(js, cand[1], aF[1])
+        new_fZ = jnp.where(js, cand[2], aF[2])
+        js2 = cexp(join & b_single)
+        new_lX = jnp.where(js2, cand[0], bL[0])
+        new_lY = jnp.where(js2, cand[1], bL[1])
+        new_lZ = jnp.where(js2, cand[2], bL[2])
+
+        widx = jnp.broadcast_to(jnp.arange(w)[:, None], (w, half))
+        # flush 1: interior joined segment (both blocks multi-segment)
+        t1 = jnp.where(join & ~a_single & ~b_single, alid, NBUCKETS)
+        BX = BX.at[widx, t1].set(cand[0], mode="drop")
+        BY = BY.at[widx, t1].set(cand[1], mode="drop")
+        BZ = BZ.at[widx, t1].set(cand[2], mode="drop")
+        # flush 2: A's completed rightmost segment (no join, A multi)
+        t2 = jnp.where(~join & ~a_single, alid, NBUCKETS)
+        BX = BX.at[widx, t2].set(aL[0], mode="drop")
+        BY = BY.at[widx, t2].set(aL[1], mode="drop")
+        BZ = BZ.at[widx, t2].set(aL[2], mode="drop")
+        # flush 3: B's completed leftmost segment (no join, B multi)
+        t3 = jnp.where(~join & ~b_single, bfid, NBUCKETS)
+        BX = BX.at[widx, t3].set(bF[0], mode="drop")
+        BY = BY.at[widx, t3].set(bF[1], mode="drop")
+        BZ = BZ.at[widx, t3].set(bF[2], mode="drop")
+
+        fid, lid = afid, blid
+        fX, fY, fZ = new_fX, new_fY, new_fZ
+        lX, lY, lZ = new_lX, new_lY, new_lZ
+        n = half
+
+    # final block: flush leftmost and rightmost (same value if one segment)
+    widx = jnp.broadcast_to(jnp.arange(w)[:, None], (w, 1))
+    BX = BX.at[widx, fid].set(fX, mode="drop")
+    BY = BY.at[widx, fid].set(fY, mode="drop")
+    BZ = BZ.at[widx, fid].set(fZ, mode="drop")
+    BX = BX.at[widx, lid].set(lX, mode="drop")
+    BY = BY.at[widx, lid].set(lY, mode="drop")
+    BZ = BZ.at[widx, lid].set(lZ, mode="drop")
+    return BX, BY, BZ
+
+
 def msm(points, inf_mask, scalar_limbs, ops=jc.G1):
     """sum_i s_i * P_i as ONE traceable graph (for shard_map composition).
     points (N,2)+coord, inf_mask (N,), scalars (N,16) canonical limbs.
@@ -178,6 +259,7 @@ class StagedMSM:
         self._prepare = jax.jit(functools.partial(stage_prepare, ops=ops))
         self._scan = jax.jit(functools.partial(stage_scan, ops=ops))
         self._buckets = jax.jit(functools.partial(stage_buckets, ops=ops))
+        self._buckets_tree = jax.jit(functools.partial(stage_buckets_tree, ops=ops))
         self._reduce = jax.jit(functools.partial(stage_reduce, ops=ops))
         self._combine = jax.jit(functools.partial(combine_windows, ops))
 
@@ -185,8 +267,12 @@ class StagedMSM:
         n = points.shape[0]
         assert n & (n - 1) == 0, "pad N to a power of two"
         ds, heads, px, py, Z = self._prepare(points, inf_mask, scalar_limbs)
-        X, Y, Z = self._scan(ds, heads, px, py, Z)
-        B = self._buckets(ds, heads, X, Y, Z)
+        if jc._pallas_enabled() and n >= 1024:
+            # work-efficient merge tree: N-1 adds (vs N log N for the scan)
+            B = self._buckets_tree(ds, px, py, Z)
+        else:
+            X, Y, Z = self._scan(ds, heads, px, py, Z)
+            B = self._buckets(ds, heads, X, Y, Z)
         W = self._reduce(*B)
         return self._combine(W)
 
