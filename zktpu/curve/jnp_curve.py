@@ -121,7 +121,7 @@ def _pallas_n(F, p) -> int:
     n = 1
     for d in p[0].shape[:-1]:
         n *= d
-    return n if n % 512 == 0 else 0
+    return n if (n > 0 and n % 512 == 0) else 0
 
 
 def point_double(F, p):

@@ -166,7 +166,7 @@ class JnpField:
         n = 1
         for d in shape[:-1]:
             n *= d
-        if n % 512 == 0:
+        if n > 0 and n % 512 == 0:
             from ..curve.jnp_curve import _pallas_enabled
 
             if _pallas_enabled():

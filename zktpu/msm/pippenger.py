@@ -249,6 +249,35 @@ def msm(points, inf_mask, scalar_limbs, ops=jc.G1):
     return combine_windows(ops, W)
 
 
+def combine_windows_host(ops, W):
+    """Window Horner on the HOST: the 32 window sums are tiny (one point
+    each) and the 279 sequential point ops cost ~6 ms in Python vs ~360 ms of
+    latency-bound single-lane device steps.  Returns a Jacobian limb triple."""
+    from ..curve import ref_ec as ec
+    from ..field.params import FP, int_to_limbs
+
+    is_g2 = isinstance(ops, jc.Fp2Ops)
+    curve = ec.G2_CURVE if is_g2 else ec.G1_CURVE
+    to_pt = jc.limbs_to_g2 if is_g2 else jc.limbs_to_g1
+    WX, WY, WZ = [np.asarray(t) for t in W]
+    pts = [to_pt((WX[w], WY[w], WZ[w])) for w in range(NWINDOWS)]
+    acc = curve.infinity()
+    for wdx in reversed(range(NWINDOWS)):
+        for _ in range(WBITS):
+            acc = curve.double(acc)
+        acc = curve.add(acc, pts[wdx])
+
+    def enc_fp(v):
+        return int_to_limbs(FP.to_mont(v % FP.modulus)).astype(np.uint32)
+
+    def enc(coord):
+        if is_g2:
+            return np.stack([enc_fp(coord.c0), enc_fp(coord.c1)])
+        return enc_fp(coord)
+
+    return enc(acc.x), enc(acc.y), enc(acc.z)
+
+
 class StagedMSM:
     """Host-orchestrated MSM with separately-jitted stages: total compile time
     is the SUM of stage compiles instead of one superlinearly-slow module
@@ -274,7 +303,7 @@ class StagedMSM:
             X, Y, Z = self._scan(ds, heads, px, py, Z)
             B = self._buckets(ds, heads, X, Y, Z)
         W = self._reduce(*B)
-        return self._combine(W)
+        return combine_windows_host(self.ops, W)
 
 
 def combine_windows(ops, W):
