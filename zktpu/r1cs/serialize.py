@@ -35,6 +35,8 @@ def dumps(cs: CompiledR1CS) -> bytes:
         a_rows=cs.a_rows, a_cols=cs.a_cols, a_coeffs=_coeffs_to_limbs(cs.a_coeffs),
         b_rows=cs.b_rows, b_cols=cs.b_cols, b_coeffs=_coeffs_to_limbs(cs.b_coeffs),
         c_rows=cs.c_rows, c_cols=cs.c_cols, c_coeffs=_coeffs_to_limbs(cs.c_coeffs),
+        committed_vars=np.asarray(cs.committed_vars, np.int64),
+        challenge_vars=np.asarray(cs.challenge_vars, np.int64),
     )
     return buf.getvalue()
 
@@ -42,6 +44,7 @@ def dumps(cs: CompiledR1CS) -> bytes:
 def loads(data: bytes) -> CompiledR1CS:
     d = np.load(io.BytesIO(data))
     nc, nv, npub = d["meta"].tolist()
+    empty = np.zeros(0, np.int64)
     return CompiledR1CS(
         num_constraints=nc,
         num_vars=nv,
@@ -49,6 +52,8 @@ def loads(data: bytes) -> CompiledR1CS:
         a_rows=d["a_rows"], a_cols=d["a_cols"], a_coeffs=_limbs_to_coeffs(d["a_coeffs"]),
         b_rows=d["b_rows"], b_cols=d["b_cols"], b_coeffs=_limbs_to_coeffs(d["b_coeffs"]),
         c_rows=d["c_rows"], c_cols=d["c_cols"], c_coeffs=_limbs_to_coeffs(d["c_coeffs"]),
+        committed_vars=d["committed_vars"] if "committed_vars" in d else empty,
+        challenge_vars=d["challenge_vars"] if "challenge_vars" in d else empty,
     )
 
 
