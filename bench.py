@@ -86,6 +86,9 @@ def main():
         prover.prove(z, rng_seed=b"bench%d" % i)
     per_proof_ms = (time.time() - t0) / runs * 1000.0
     log(f"prove latency: {per_proof_ms:.1f} ms/proof over {runs} runs")
+    from zktpu.utils.metrics import dump_json
+
+    log("stage metrics:", dump_json())
 
     print(
         json.dumps(
