@@ -129,9 +129,13 @@ def _unpack32(x, nbits=BITS):
 
 
 class EvalBackend:
-    """Words are jnp uint32 arrays of shape (batch,); every allocation event
-    appends the allocated bits (batch, nbits) to the witness stream in the
-    same order SynthBackend allocates variables."""
+    """Words are jnp uint32 arrays of shape (batch,).
+
+    Compile-friendly witness recording: instead of unpacking each allocation
+    event to bits and concatenating ~700 chunks (a >10k-op trace XLA takes
+    minutes on), every event appends ONE word (and add32 additionally one
+    carry word).  `witness_bits` then unpacks all words at once and reorders
+    into witness-variable order with a single precomputed gather."""
 
     def __init__(self, counter, nonce, inp, out, key):
         # all uint32 word arrays: counter (B,), nonce (B,3), inp/out (B,16), key (B,8)
@@ -143,12 +147,15 @@ class EvalBackend:
             + [key[..., i] for i in range(8)]
         )
         self._cursor = 0
-        self.chunks = []
+        self.words = []  # one (B,) uint32 per event
+        self.carries = []  # (B,) uint32 in {0,1}, add32 events only
+        self.schedule = []  # ("w", event_idx) | ("a", event_idx, carry_idx)
 
     def _next_input(self):
         w = self._inputs[self._cursor]
         self._cursor += 1
-        self.chunks.append(_unpack32(w))
+        self.schedule.append(("w", len(self.words)))
+        self.words.append(w)
         return w
 
     pub_word = _next_input
@@ -157,17 +164,21 @@ class EvalBackend:
     def add32(self, a, b):
         s = a + b  # uint32 wraps mod 2^32
         carry = (s < a).astype(jnp.uint32)
-        self.chunks.append(jnp.concatenate([_unpack32(s), carry[..., None]], axis=-1))
+        self.schedule.append(("a", len(self.words), len(self.carries)))
+        self.words.append(s)
+        self.carries.append(carry)
         return s
 
     def xor32(self, a, b):
         c = a ^ b
-        self.chunks.append(_unpack32(c))
+        self.schedule.append(("w", len(self.words)))
+        self.words.append(c)
         return c
 
     def xor_rot32(self, a, b, l):
         x = a ^ b
-        self.chunks.append(_unpack32(x))
+        self.schedule.append(("w", len(self.words)))
+        self.words.append(x)
         return (x << l) | (x >> (BITS - l))
 
     def repack_lsb(self, a):
@@ -200,6 +211,22 @@ class _ConstLift:
 import jax
 
 
+def _index_map(schedule, n_words: int) -> np.ndarray:
+    """Witness position -> flat bit-buffer index.  The bit buffer is
+    [all event words unpacked LSB-first (n_words*32)] ++ [all carries]."""
+    carry_base = n_words * BITS
+    idx = []
+    for ev in schedule:
+        if ev[0] == "w":
+            e = ev[1]
+            idx.extend(range(e * BITS, e * BITS + BITS))
+        else:  # add32: 32 sum bits then the carry bit (ToBinary(33) order)
+            _, e, c = ev
+            idx.extend(range(e * BITS, e * BITS + BITS))
+            idx.append(carry_base + c)
+    return np.asarray(idx, dtype=np.int32)
+
+
 @jax.jit
 def witness_bits(counter, nonce, inp, out, key):
     """Run the circuit over batched word inputs; return (batch, num_vars)
@@ -207,8 +234,12 @@ def witness_bits(counter, nonce, inp, out, key):
     eb = EvalBackend(counter, nonce, inp, out, key)
     b = _ConstLift(eb, counter.shape)
     define(b)
+    W = jnp.stack(eb.words, axis=-1)  # (B, E)
+    bits = _unpack32(W).reshape(counter.shape + (len(eb.words) * BITS,))
+    flat = jnp.concatenate([bits, jnp.stack(eb.carries, axis=-1)], axis=-1)
+    wit = jnp.take(flat, jnp.asarray(_index_map(eb.schedule, len(eb.words))), axis=-1)
     ones = jnp.ones(counter.shape + (1,), dtype=jnp.uint32)
-    return jnp.concatenate([ones] + eb.chunks, axis=-1)
+    return jnp.concatenate([ones, wit], axis=-1)
 
 
 # --------------------------------------------------------------- cipher (jnp)

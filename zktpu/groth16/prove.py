@@ -110,15 +110,23 @@ def encode_witness(values, nv_pad: int):
 
 
 class Prover:
-    """Holds device-ready circuit constants + jitted stages for one circuit."""
+    """Holds device-ready circuit constants + jitted stages for one circuit.
 
-    def __init__(self, cs: CompiledR1CS, pk: ProvingKey):
+    mesh: optional jax.sharding.Mesh — when given, every MSM runs sharded
+    over `axis` (points/scalars partitioned per chip, single-point partials
+    all-gathered over ICI; zktpu.parallel.sharded).  Field arithmetic is
+    exact, so an N-chip proof is byte-identical to the single-chip proof for
+    the same rng_seed (SURVEY.md §7 Phase 7 oracle, exercised by
+    __graft_entry__.dryrun_multichip)."""
+
+    def __init__(self, cs: CompiledR1CS, pk: ProvingKey, mesh=None, axis: str = "x"):
         assert pk.num_vars == cs.num_vars
         self.cs = cs
         self.pk = pk
         self.n = pk.n_domain
         self.domain = Domain(self.n)
         self.nv_pad = pk.a_query.shape[0]
+        self.mesh = mesh
 
         self._mat = {}
         for name, rows, cols, coeffs in (
@@ -134,10 +142,23 @@ class Prover:
 
         self._h_scalars = jax.jit(self._h_scalars_impl)
         self._h_scalars_general = jax.jit(self._h_scalars_general_impl)
-        self._msm_bits_g1 = jax.jit(functools.partial(pp.msm_bits, ops=jc.G1))
-        self._msm_bits_g2 = jax.jit(functools.partial(pp.msm_bits, ops=jc.G2))
-        self._msm_g1 = pp.StagedMSM(jc.G1)
-        self._msm_g2 = pp.StagedMSM(jc.G2)
+        if mesh is None:
+            self._msm_bits_g1 = jax.jit(functools.partial(pp.msm_bits, ops=jc.G1))
+            self._msm_bits_g2 = jax.jit(functools.partial(pp.msm_bits, ops=jc.G2))
+            self._msm_g1 = pp.StagedMSM(jc.G1)
+            self._msm_g2 = pp.StagedMSM(jc.G2)
+        else:
+            from ..parallel import sharded as sh
+
+            def _sh(fn, ops):
+                return jax.jit(
+                    functools.partial(fn, mesh=mesh, axis=axis, ops=ops)
+                )
+
+            self._msm_bits_g1 = _sh(sh.sharded_msm_bits, jc.G1)
+            self._msm_bits_g2 = _sh(sh.sharded_msm_bits, jc.G2)
+            self._msm_g1 = _sh(sh.sharded_msm, jc.G1)
+            self._msm_g2 = _sh(sh.sharded_msm, jc.G2)
         self._from_mont = jax.jit(F.from_mont)
 
     # ----------------------------------------------------------- jitted core

@@ -26,6 +26,7 @@ points as affine Montgomery limbs (N, 2, L) with an infinity mask.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -296,8 +297,11 @@ class StagedMSM:
         n = points.shape[0]
         assert n & (n - 1) == 0, "pad N to a power of two"
         ds, heads, px, py, Z = self._prepare(points, inf_mask, scalar_limbs)
-        if jc._pallas_enabled() and n >= 1024:
-            # work-efficient merge tree: N-1 adds (vs N log N for the scan)
+        # The work-efficient merge tree (N-1 adds vs N log N for the scan) is
+        # an explicit opt-in, decoupled from the Pallas flag (VERDICT.md round
+        # 1 weak #8): its unrolled log2(N) point_add instances at distinct
+        # shapes make XLA compile time prohibitive on large N.
+        if os.environ.get("ZKTPU_MSM_TREE", "0") == "1" and n >= 1024:
             B = self._buckets_tree(ds, px, py, Z)
         else:
             X, Y, Z = self._scan(ds, heads, px, py, Z)
@@ -345,19 +349,32 @@ def msm_bits(points, inf_mask, bits, ops=jc.G1):
         jnp.broadcast_to(one, zshape),
         jnp.zeros(zshape, jnp.uint32),
     )
-    # On TPU, do a true halving tree (total work ~n adds) with an unrolled
-    # python loop — G1 levels hit the fused Pallas kernel; G2 levels are
-    # plain jnp but still benefit from the 15x work cut vs the full-width
-    # fori scan.  Below the tile size, fall through to the fori path.
-    if jc._pallas_enabled() and n > 512:
-        while n > 512:
-            h = n // 2
-            X, Y, Z = jc.point_add(
-                ops, (X[:h], Y[:h], Z[:h]), (X[h:], Y[h:], Z[h:])
+    # Phase 1 — fixed-width fold: reshape to (k, w) and fori-accumulate the k
+    # rows.  ONE point_add instance in the graph regardless of N (the round-1
+    # unrolled halving put log2(N/512) point_add instances at distinct shapes
+    # in the graph and cost 197 s of XLA/Mosaic compile on the real chip).
+    # Work stays ~N adds: (k-1) sequential width-w adds.
+    w = int(os.environ.get("ZKTPU_MSM_FOLD_WIDTH", "2048"))
+    w = min(n, w)
+    if n > w:
+        k = n // w
+        Xr = X.reshape((k, w) + X.shape[1:])
+        Yr = Y.reshape((k, w) + Y.shape[1:])
+        Zr = Z.reshape((k, w) + Z.shape[1:])
+
+        def fbody(i, acc):
+            row = (
+                jax.lax.dynamic_index_in_dim(Xr, i, keepdims=False),
+                jax.lax.dynamic_index_in_dim(Yr, i, keepdims=False),
+                jax.lax.dynamic_index_in_dim(Zr, i, keepdims=False),
             )
-            n = h
-    # log-depth halving tree as a fori_loop over a fixed-width buffer: at step
-    # k the live prefix has n >> k entries; masked lanes stay at infinity.
+            return jc.point_add(ops, acc, row)
+
+        X, Y, Z = jax.lax.fori_loop(1, k, fbody, (Xr[0], Yr[0], Zr[0]))
+        n = w
+    # Phase 2 — log-depth halving tree as a fori_loop over a fixed-width
+    # buffer: at step k the live prefix has n >> k entries; masked lanes stay
+    # at infinity.  (The second and last point_add instance in the graph.)
     logn = n.bit_length() - 1
 
     def body(k, carry):

@@ -85,6 +85,7 @@ class Domain:
 
         self.coset_pows = power_table(coset_gen)
         self.coset_pows_inv = power_table(pow(coset_gen, -1, P_FR))
+        self._scan_cache = {}
         self.n_inv_mont = int_to_limbs(FR.to_mont(self.n_inv)).astype(np.uint32)
         # Z_H(coset point) = g^N - 1, constant across the coset
         z_coset = (pow(coset_gen, n, P_FR) - 1) % P_FR
@@ -93,30 +94,72 @@ class Domain:
         ).astype(np.uint32)
 
 
-def _core(x, twiddles, perm):
-    """x: (..., N, 16) Montgomery Fr -> NTT along axis -2 (natural in/out)."""
+def _scan_tables(domain: "Domain", inverse: bool):
+    """Per-stage gather tables for the scan-based core, stacked over stages:
+    IU/IV (logn, n/2) butterfly input indices, TW (logn, n/2, 16) twiddles,
+    IP (logn, n) output inverse-permutation.  Compile-time constants."""
+    key = "inv" if inverse else "fwd"
+    if key in domain._scan_cache:
+        return domain._scan_cache[key]
+    n, logn = domain.n, domain.logn
+    stages = domain.tw_inv if inverse else domain.tw_fwd
+    IU = np.empty((logn, n // 2), np.int32)
+    IV = np.empty((logn, n // 2), np.int32)
+    TW = np.empty((logn, n // 2, NLIMBS), np.uint32)
+    IP = np.empty((logn, n), np.int32)
+    p = np.arange(n // 2)
+    for s in range(logn):
+        m = 1 << s
+        g, k = p // m, p % m
+        iu = g * 2 * m + k
+        iv = iu + m
+        IU[s], IV[s] = iu, iv
+        TW[s] = stages[s][k]
+        ip = np.empty(n, np.int32)
+        ip[iu] = p
+        ip[iv] = n // 2 + p
+        IP[s] = ip
+    out = (IU, IV, TW, IP)
+    domain._scan_cache[key] = out
+    return out
+
+
+def _core(x, domain: "Domain", inverse: bool = False):
+    """x: (..., N, 16) Montgomery Fr -> NTT along axis -2 (natural in/out).
+
+    lax.scan over the log2(N) butterfly stages keeps ONE butterfly in the
+    compiled graph regardless of N — the round-1 unrolled version put 15
+    (32768,16)-wide Montgomery muls per NTT x 8 NTTs in the quotient graph
+    and took 200+ s of XLA time on the real chip (VERDICT.md weak #1)."""
+    import jax
+
     n = x.shape[-2]
-    x = jnp.take(x, jnp.asarray(perm), axis=-2)
-    lead = x.shape[:-2]
-    for tws in twiddles:
-        m = tws.shape[0]
-        xr = x.reshape(lead + (n // (2 * m), 2, m, NLIMBS))
-        u = xr[..., 0, :, :]
-        t = F.mont_mul(xr[..., 1, :, :], jnp.asarray(tws))
-        x = jnp.stack([F.add(u, t), F.sub(u, t)], axis=-3).reshape(
-            lead + (n, NLIMBS)
-        )
+    if n == 2:  # degenerate: single butterfly, no scan machinery
+        tws = (domain.tw_inv if inverse else domain.tw_fwd)[0]
+        u, t = x[..., 0:1, :], F.mont_mul(x[..., 1:2, :], jnp.asarray(tws))
+        return jnp.concatenate([F.add(u, t), F.sub(u, t)], axis=-2)
+    x = jnp.take(x, jnp.asarray(domain.perm), axis=-2)
+    IU, IV, TW, IP = (jnp.asarray(t) for t in _scan_tables(domain, inverse))
+
+    def body(xc, stage):
+        iu, iv, tw, ip = stage
+        u = jnp.take(xc, iu, axis=-2)
+        t = F.mont_mul(jnp.take(xc, iv, axis=-2), tw)
+        y = jnp.concatenate([F.add(u, t), F.sub(u, t)], axis=-2)
+        return jnp.take(y, ip, axis=-2), None
+
+    x, _ = jax.lax.scan(body, x, (IU, IV, TW, IP))
     return x
 
 
 def ntt(x, domain: Domain):
     """Forward NTT: coefficients -> evaluations at {w^i} (natural order)."""
-    return _core(x, domain.tw_fwd, domain.perm)
+    return _core(x, domain, inverse=False)
 
 
 def intt(x, domain: Domain):
     """Inverse NTT: evaluations -> coefficients, including the 1/N scale."""
-    y = _core(x, domain.tw_inv, domain.perm)
+    y = _core(x, domain, inverse=True)
     return F.mont_mul(y, jnp.asarray(domain.n_inv_mont))
 
 

@@ -201,10 +201,12 @@ def sharded_four_step_intt(y, plan: FourStepPlan, mesh: Mesh, axis: str = "x"):
     n1, n2 = plan.n1, plan.n2
 
     def local(ys, twis):
-        s2 = intt(ys, plan.d1)  # (n2_loc, n1, 16)
+        s2 = intt(ys, plan.d1)  # (n2_loc, n1, 16): length-n1 inverse per k2
+        # all_to_all transpose: (n2_loc, n1, .) -> (n2, n1_loc, .); received
+        # blocks concatenate in device order so axis 0 is global k2 order
         t = jax.lax.all_to_all(s2, axis, split_axis=1, concat_axis=0, tiled=True)
-        s1 = F.mont_mul(t.transpose(1, 0, 2), twis)  # wrong orientation fixed below
-        return intt(s1, plan.d2)
+        s1 = F.mont_mul(t.transpose(1, 0, 2), twis)  # (n1_loc, n2, 16) * twi[i1,i2]
+        return intt(s1, plan.d2)  # length-n2 inverse along axis -2
 
     twi = jnp.asarray(plan.twi)
     return shard_map(
