@@ -80,7 +80,7 @@ def _witness_and_builder(variant, key, ct):
     e1 = limb.encode([0x1234567890ABCDEF1122334455667788], FR, mont=False)
     e2 = limb.encode([0x0FEDCBA987654321AABBCCDD11223344], FR, mont=False)
     z = np.asarray(av.witness_canonical(variant, nb, cnt, ptb, ctb, kb, e1, e2))[0]
-    return b, limb.decode(z, FR)
+    return b, limb.decode(z, FR, mont=False)  # witness limbs are canonical
 
 
 @pytest.fixture(scope="module")
