@@ -87,8 +87,11 @@ def main():
     else:
         builder = cc.synthesize()
         cs = builder.compile()
-        r1cs_ser.save(cs, r1cs_path)
+        r1cs_bytes = r1cs_ser.dumps(cs)
+        with open(r1cs_path, "wb") as f:
+            f.write(r1cs_bytes)
         pk, vk = setup(cs, seed=b"bench-deterministic")
+        pk.bind_r1cs(r1cs_bytes)
         pk.save(pk_path)
         with open(os.path.join(art, "vk.chacha20"), "w") as f:
             json.dump(vk.to_json_dict(), f)
@@ -128,15 +131,31 @@ def main():
         return out
 
     h = stage("h_scalars", lambda: prover._h_scalars(zj))
-    stage("msm_a_g1", lambda: prover._msm_bits_g1(pk.a_query, pk.a_inf, zpad))
-    stage("msm_b_g2", lambda: prover._msm_bits_g2(pk.b_g2_query, pk.b_g2_inf, zpad))
+    g1x3 = stage(
+        "msm_g1x3",
+        lambda: prover._msm_bits_g1x3(prover._g1_stack, prover._g1_stack_inf, zpad),
+    )
+    b2 = stage(
+        "msm_b_g2", lambda: prover._msm_bits_g2(pk.b_g2_query, pk.b_g2_inf, zpad)
+    )
     hd = np.asarray(h)
     t = time.time()
-    prover._msm_g1(pk.h_query, pk.h_inf, hd)
+    h_msm = prover._msm_g1(pk.h_query, pk.h_inf, hd)
     log(f"msm_h compile+run {time.time()-t:.1f}s")
     t = time.time()
-    prover._msm_g1(pk.h_query, pk.h_inf, hd)
+    h_msm = prover._msm_g1(pk.h_query, pk.h_inf, hd)
     record("chacha20_msm_h_ms", (time.time() - t) * 1000.0)
+
+    # device assemble (fixed+variable-base randomizer muls under one jit)
+    a_msm = tuple(t_[0] for t_ in g1x3)
+    b1_msm = tuple(t_[1] for t_ in g1x3)
+    l_msm = tuple(t_[2] for t_ in g1x3)
+    t = time.time()
+    prover._assemble(a_msm, b1_msm, b2, l_msm, h_msm, rng_seed=b"stage")
+    log(f"assemble compile+run {time.time()-t:.1f}s")
+    t = time.time()
+    prover._assemble(a_msm, b1_msm, b2, l_msm, h_msm, rng_seed=b"stage")
+    record("chacha20_assemble_ms", (time.time() - t) * 1000.0)
 
     # --- full prove
     t0 = time.time()

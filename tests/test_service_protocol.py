@@ -74,3 +74,46 @@ def test_prove_unknown_cipher_raises():
 
 def test_init_bad_algorithm_id():
     assert not service.init_algorithm(7, b"", b"")
+
+
+def test_init_rejects_mismatched_pk_r1cs():
+    """pk<->r1cs hash binding (VERDICT.md round-1 missing #6): a pk bound to
+    one circuit must refuse to initialize against another circuit's r1cs
+    (the reference's dormant hash registry, prove_impl.go:27-43, enforced)."""
+    import io
+
+    from zktpu.api import service
+    from zktpu.groth16.setup import setup
+    from zktpu.r1cs import serialize as r1cs_ser
+    from zktpu.r1cs.builder import Builder, lc_var
+
+    b = Builder()
+    p = b.pub(1)[0]
+    s = b.secret(1)[0]
+    b.assert_bool(lc_var(s))
+    b.xor(lc_var(s), lc_var(p))
+    cs = b.compile()
+    r1cs_bytes = r1cs_ser.dumps(cs)
+    pk, _vk = setup(cs, seed=b"bind-test")
+    pk.bind_r1cs(r1cs_bytes)
+    buf = io.BytesIO()
+    pk.save(buf)
+    pk_bytes = buf.getvalue()
+
+    b2 = Builder()
+    q = b2.pub(1)[0]
+    s2 = b2.secret(1)[0]
+    b2.assert_bool(lc_var(s2))
+    b2.xor(lc_var(s2), lc_var(q))
+    b2.xor(lc_var(s2), lc_var(q))  # one extra wire: different bytes, same shape
+    bad_bytes = r1cs_ser.dumps(b2.compile())
+
+    saved = service._PROVERS.pop("chacha20", None)
+    try:
+        assert service.init_algorithm(0, pk_bytes, bad_bytes) is False
+        assert "chacha20" not in service._PROVERS
+        assert service.init_algorithm(0, pk_bytes, r1cs_bytes) is True
+    finally:
+        service._PROVERS.pop("chacha20", None)
+        if saved is not None:
+            service._PROVERS["chacha20"] = saved

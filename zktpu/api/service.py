@@ -259,6 +259,16 @@ def init_algorithm(algorithm_id: int, pk_bytes: bytes, r1cs_bytes: bytes) -> boo
 
         cs = r1cs_ser.loads(r1cs_bytes)
         pk = ProvingKey.load(io.BytesIO(pk_bytes))
+        if pk.r1cs_sha256 is not None:
+            # pk<->r1cs binding (the reference's dormant hash registry,
+            # prove_impl.go:27-43, enforced): a mismatched pair would produce
+            # unverifiable proofs with zero diagnostics
+            import hashlib
+
+            got = hashlib.sha256(r1cs_bytes).digest()
+            if got != bytes(bytearray(pk.r1cs_sha256)):
+                print(f"init_algorithm: pk/r1cs hash mismatch for {name}")
+                return False
         if name == "chacha20":
             _PROVERS[name] = ChaChaProverService(cs, pk)
         else:

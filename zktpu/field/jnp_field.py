@@ -67,14 +67,20 @@ class JnpField:
     # --------------------------------------------------------- carry chains
     def _carry16(self, t):
         """Propagate carries over 16 digits (< 2^32 each); returns
-        (canonical 16 digits, carry-out)."""
-        out = []
-        carry = None
-        for k in range(NLIMBS):
-            v = t[..., k] if carry is None else t[..., k] + carry
-            out.append(v & MASK)
-            carry = v >> LIMB_BITS
-        return _stack_last(out), carry
+        (canonical 16 digits, carry-out).
+
+        lax.scan over the limb axis instead of a 16-step unrolled chain:
+        the chain is inherently sequential either way, but the scan keeps
+        the graph at ONE ~4-op body — measured 0.3s of XLA CPU compile per
+        unrolled add, and point formulas contain ~30 adds/subs each."""
+        tt = jnp.moveaxis(t, -1, 0)  # (L, ...)
+
+        def step(carry, row):
+            v = row + carry
+            return v >> LIMB_BITS, v & MASK
+
+        carry, rows = jax.lax.scan(step, jnp.zeros_like(tt[0]), tt)
+        return jnp.moveaxis(rows, 0, -1), carry
 
     def _normalize(self, t):
         """Carry-normalize, dropping overflow (value must fit 256 bits)."""

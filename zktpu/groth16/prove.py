@@ -147,6 +147,18 @@ class Prover:
             self._msm_bits_g2 = jax.jit(functools.partial(pp.msm_bits, ops=jc.G2))
             self._msm_g1 = pp.StagedMSM(jc.G1)
             self._msm_g2 = pp.StagedMSM(jc.G2)
+            # the three G1 witness MSMs (A, B1, L) share the bit vector and
+            # the sequential fold depth — vmap them into ONE dispatch (3x
+            # lanes, same latency) instead of three round trips
+            self._g1_stack = jnp.asarray(
+                np.stack([pk.a_query, pk.b_g1_query, pk.l_query])
+            )
+            self._g1_stack_inf = jnp.asarray(
+                np.stack([pk.a_inf, pk.b_g1_inf, pk.l_inf])
+            )
+            self._msm_bits_g1x3 = jax.jit(
+                jax.vmap(functools.partial(pp.msm_bits, ops=jc.G1), in_axes=(0, 0, None))
+            )
         else:
             from ..parallel import sharded as sh
 
@@ -160,6 +172,12 @@ class Prover:
             self._msm_g1 = _sh(sh.sharded_msm, jc.G1)
             self._msm_g2 = _sh(sh.sharded_msm, jc.G2)
         self._from_mont = jax.jit(F.from_mont)
+        # the assemble graph depends only on pk constants — share ONE jitted
+        # instance across Provers over the same pk (e.g. the single-chip and
+        # mesh Provers in dryrun_multichip), halving its compile cost
+        if getattr(pk, "_assemble_core_jit", None) is None:
+            pk._assemble_core_jit = jax.jit(self._assemble_core_impl)
+        self._assemble_core = pk._assemble_core_jit
 
     # ----------------------------------------------------------- jitted core
     def _matvec_bits(self, name, zbits):
@@ -219,15 +237,76 @@ class Prover:
         zpad[: self.cs.num_vars] = zbits
         return jnp.asarray(zpad)
 
+    # ------------------------------------------------- device proof assembly
+    @staticmethod
+    def _mul_fori(ops, base, bits):
+        """MSB-first double-and-add over a stacked base triple (k, ...);
+        bits (256, k) uint32.  ONE double + ONE add instance in the graph."""
+        zero = tuple(jnp.zeros_like(t) for t in base)
+
+        def body(i, acc):
+            acc = jc.point_double(ops, acc)
+            added = jc.point_add(ops, acc, base)
+            keep = bits[i] == 0
+            return jc.point_select(ops, keep, acc, added)
+
+        return jax.lax.fori_loop(0, 256, body, zero)
+
+    def _assemble_core_impl(self, a_msm, b1_msm, b2_msm, l_msm, h_msm,
+                            bits_g1, bits_g2, bits_ab):
+        """Device-side proof randomization (was 330 ms of host Python EC per
+        proof): fixed-base muls [r,s,rs]*delta1 and s*delta2, then the
+        Groth16 combination A/B/C — all batched point ops under one jit.
+        bits_g1 (256,3) MSB-first bits of (r, s, r*s); bits_g2 (256,1) of s;
+        bits_ab (256,2) of (s, r) for the variable-base phase."""
+        pk = self.pk
+        one = jnp.asarray(_ONE_LIMBS)
+        one2 = jnp.asarray(_ONE_LIMBS2)
+
+        def stack(ts):
+            return tuple(jnp.stack(c, axis=0) for c in zip(*ts))
+
+        def lane(t, i):
+            return tuple(c[i] for c in t)
+
+        alpha1 = (jnp.asarray(pk.alpha_g1[0]), jnp.asarray(pk.alpha_g1[1]), one)
+        beta1 = (jnp.asarray(pk.beta_g1[0]), jnp.asarray(pk.beta_g1[1]), one)
+        delta1 = (jnp.asarray(pk.delta_g1[0]), jnp.asarray(pk.delta_g1[1]), one)
+        beta2 = (jnp.asarray(pk.beta_g2[0]), jnp.asarray(pk.beta_g2[1]), one2)
+        delta2 = (jnp.asarray(pk.delta_g2[0]), jnp.asarray(pk.delta_g2[1]), one2)
+
+        # phase 1: fixed-base muls
+        d3 = tuple(jnp.broadcast_to(c, (3,) + c.shape) for c in delta1)
+        rd1_sd1_rsd1 = self._mul_fori(jc.G1, d3, bits_g1)
+        rd1, sd1, rsd1 = (lane(rd1_sd1_rsd1, i) for i in range(3))
+        sd2 = lane(
+            self._mul_fori(jc.G2, tuple(c[None] for c in delta2), bits_g2), 0
+        )
+        # A = alpha1 + A0 + r*delta1 ; B1 = beta1 + B1msm + s*delta1
+        t = jc.point_add(jc.G1, stack([alpha1, beta1]), stack([a_msm, b1_msm]))
+        t = jc.point_add(jc.G1, t, stack([rd1, sd1]))
+        A, B1 = lane(t, 0), lane(t, 1)
+        B2 = jc.point_add(jc.G2, jc.point_add(jc.G2, beta2, b2_msm), sd2)
+        # phase 2: variable-base muls s*A, r*B1
+        sA_rB1 = self._mul_fori(jc.G1, stack([A, B1]), bits_ab)
+        # C = L + H + s*A + r*B1 - rs*delta1
+        u = jc.point_add(
+            jc.G1, stack([l_msm, lane(sA_rB1, 0)]), stack([h_msm, lane(sA_rB1, 1)])
+        )
+        C = jc.point_add(jc.G1, lane(u, 0), lane(u, 1))
+        C = jc.point_add(jc.G1, C, jc.point_neg(jc.G1, rsd1))
+        return A, B2, C
+
+    @staticmethod
+    def _bits_msb(vals) -> np.ndarray:
+        out = np.zeros((256, len(vals)), np.uint32)
+        for j, v in enumerate(vals):
+            for i in range(256):
+                out[i, j] = (v >> (255 - i)) & 1
+        return out
+
     def _assemble(self, a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed,
                   d_aff=None, dsig_aff=None) -> Proof:
-        pk = self.pk
-        A0 = jc.limbs_to_g1(tuple(np.asarray(t) for t in a_msm))
-        B1 = jc.limbs_to_g1(tuple(np.asarray(t) for t in b1_msm))
-        B2 = jc.limbs_to_g2(tuple(np.asarray(t) for t in b2_msm))
-        L = jc.limbs_to_g1(tuple(np.asarray(t) for t in l_msm))
-        H = jc.limbs_to_g1(tuple(np.asarray(t) for t in h_msm))
-
         if rng_seed is None:
             r = _secrets.randbelow(P_FR)
             s = _secrets.randbelow(P_FR)
@@ -235,27 +314,16 @@ class Prover:
             r = int.from_bytes(hashlib.sha512(rng_seed + b"r").digest(), "big") % P_FR
             s = int.from_bytes(hashlib.sha512(rng_seed + b"s").digest(), "big") % P_FR
 
-        C1, C2 = ec.G1_CURVE, ec.G2_CURVE
-        alpha1 = jc.limbs_to_g1((pk.alpha_g1[0], pk.alpha_g1[1], _ONE_LIMBS))
-        beta1 = jc.limbs_to_g1((pk.beta_g1[0], pk.beta_g1[1], _ONE_LIMBS))
-        delta1 = jc.limbs_to_g1((pk.delta_g1[0], pk.delta_g1[1], _ONE_LIMBS))
-        beta2 = jc.limbs_to_g2((pk.beta_g2[0], pk.beta_g2[1], _ONE_LIMBS2))
-        delta2 = jc.limbs_to_g2((pk.delta_g2[0], pk.delta_g2[1], _ONE_LIMBS2))
-
-        a_pt = C1.add(C1.add(alpha1, A0), C1.mul(delta1, r))
-        b2_pt = C2.add(C2.add(beta2, B2), C2.mul(delta2, s))
-        b1_pt = C1.add(C1.add(beta1, B1), C1.mul(delta1, s))
-        c_pt = C1.add(
-            C1.add(L, H),
-            C1.add(
-                C1.add(C1.mul(a_pt, s), C1.mul(b1_pt, r)),
-                C1.neg(C1.mul(delta1, r * s % P_FR)),
-            ),
+        A, B2, C = self._assemble_core(
+            a_msm, b1_msm, b2_msm, l_msm, h_msm,
+            jnp.asarray(self._bits_msb([r, s, r * s % P_FR])),
+            jnp.asarray(self._bits_msb([s])),
+            jnp.asarray(self._bits_msb([s, r])),
         )
-
-        a_aff = C1.to_affine(a_pt)
-        b_aff = C2.to_affine(b2_pt)
-        c_aff = C1.to_affine(c_pt)
+        C1, C2 = ec.G1_CURVE, ec.G2_CURVE
+        a_aff = C1.to_affine(jc.limbs_to_g1(tuple(np.asarray(t) for t in A)))
+        b_aff = C2.to_affine(jc.limbs_to_g2(tuple(np.asarray(t) for t in B2)))
+        c_aff = C1.to_affine(jc.limbs_to_g1(tuple(np.asarray(t) for t in C)))
         return Proof(
             a=(a_aff[0], a_aff[1]),
             b=((b_aff[0].c0, b_aff[0].c1), (b_aff[1].c0, b_aff[1].c1)),
@@ -275,12 +343,21 @@ class Prover:
         with stage("prove.h_scalars", items=self.n):
             h_digits = jax.block_until_ready(self._h_scalars(jnp.asarray(zbits)))
         with stage("prove.msm_witness", items=4 * self.nv_pad):
-            a_msm = self._msm_bits_g1(pk.a_query, pk.a_inf, zpad_j)
-            b1_msm = self._msm_bits_g1(pk.b_g1_query, pk.b_g1_inf, zpad_j)
-            b2_msm = self._msm_bits_g2(pk.b_g2_query, pk.b_g2_inf, zpad_j)
-            l_msm = jax.block_until_ready(
-                self._msm_bits_g1(pk.l_query, pk.l_inf, zpad_j)
-            )
+            if self.mesh is None:
+                g1x3 = self._msm_bits_g1x3(self._g1_stack, self._g1_stack_inf, zpad_j)
+                a_msm = tuple(t[0] for t in g1x3)
+                b1_msm = tuple(t[1] for t in g1x3)
+                l_msm = tuple(t[2] for t in g1x3)
+                b2_msm = jax.block_until_ready(
+                    self._msm_bits_g2(pk.b_g2_query, pk.b_g2_inf, zpad_j)
+                )
+            else:
+                a_msm = self._msm_bits_g1(pk.a_query, pk.a_inf, zpad_j)
+                b1_msm = self._msm_bits_g1(pk.b_g1_query, pk.b_g1_inf, zpad_j)
+                b2_msm = self._msm_bits_g2(pk.b_g2_query, pk.b_g2_inf, zpad_j)
+                l_msm = jax.block_until_ready(
+                    self._msm_bits_g1(pk.l_query, pk.l_inf, zpad_j)
+                )
         with stage("prove.msm_h", items=self.n):
             h_msm = jax.block_until_ready(self._msm_g1(pk.h_query, pk.h_inf, h_digits))
         with stage("prove.assemble"):

@@ -82,10 +82,22 @@ class ProvingKey:
     ck_inf: np.ndarray = None
     ck_sigma_query: np.ndarray = None
     ck_sigma_inf: np.ndarray = None
+    # sha256 of the serialized r1cs this pk was set up for (uint8 array).
+    # The reference pins pk<->r1cs hashes in a registry (prove_impl.go:27-43,
+    # dormant there); here the binding travels INSIDE the pk and is enforced
+    # at init_algorithm time.
+    r1cs_sha256: np.ndarray = None
 
     def save(self, path: str):
         d = {k: v for k, v in dataclasses.asdict(self).items() if v is not None}
         np.savez_compressed(path, **d)
+
+    def bind_r1cs(self, r1cs_bytes: bytes):
+        import hashlib
+
+        self.r1cs_sha256 = np.frombuffer(
+            hashlib.sha256(r1cs_bytes).digest(), dtype=np.uint8
+        ).copy()
 
     @classmethod
     def load(cls, path: str) -> "ProvingKey":

@@ -29,10 +29,13 @@ def generate_chacha20(out_dir: str, seed: bytes | None):
         f"chacha20: {cs.num_constraints} constraints, {cs.num_vars} vars, "
         f"{cs.num_public} public ({time.time() - t0:.1f}s)"
     )
-    r1cs_ser.save(cs, os.path.join(out_dir, "r1cs.chacha20"))
+    r1cs_bytes = r1cs_ser.dumps(cs)
+    with open(os.path.join(out_dir, "r1cs.chacha20"), "wb") as f:
+        f.write(r1cs_bytes)
     t0 = time.time()
     pk, vk = g16_setup.setup(cs, seed=seed)
     print(f"chacha20: setup done ({time.time() - t0:.1f}s)")
+    pk.bind_r1cs(r1cs_bytes)  # pk<->r1cs integrity (prove_impl.go:27-43 done right)
     pk.save(os.path.join(out_dir, "pk.chacha20"))
     with open(os.path.join(out_dir, "vk.chacha20"), "w") as f:
         json.dump(vk.to_json_dict(), f)
@@ -53,10 +56,13 @@ def _generate_aes(cipher: str, short: str):
             f"{cs.num_public} public, {len(cs.committed_vars)} committed "
             f"({time.time() - t0:.1f}s)"
         )
-        r1cs_ser.save(cs, os.path.join(out_dir, f"r1cs.{short}"))
+        r1cs_bytes = r1cs_ser.dumps(cs)
+        with open(os.path.join(out_dir, f"r1cs.{short}"), "wb") as f:
+            f.write(r1cs_bytes)
         t0 = time.time()
         pk, vk = g16_setup.setup(cs, seed=seed)
         print(f"{cipher}: setup done ({time.time() - t0:.1f}s)")
+        pk.bind_r1cs(r1cs_bytes)
         pk.save(os.path.join(out_dir, f"pk.{short}"))
         with open(os.path.join(out_dir, f"vk.{short}"), "w") as f:
             json.dump(vk.to_json_dict(), f)
