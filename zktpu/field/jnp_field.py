@@ -66,21 +66,36 @@ class JnpField:
 
     # --------------------------------------------------------- carry chains
     def _carry16(self, t):
-        """Propagate carries over 16 digits (< 2^32 each); returns
-        (canonical 16 digits, carry-out).
+        """Propagate carries over L digits (< 2^32 each); returns
+        (canonical digits, carry-out).
 
-        lax.scan over the limb axis instead of a 16-step unrolled chain:
-        the chain is inherently sequential either way, but the scan keeps
-        the graph at ONE ~4-op body — measured 0.3s of XLA CPU compile per
-        unrolled add, and point formulas contain ~30 adds/subs each."""
-        tt = jnp.moveaxis(t, -1, 0)  # (L, ...)
+        Packed carry-lookahead: one local pass splits the multi-bit carries
+        (u_i = lo_i + hi_{i-1} <= 2^17-2), after which every residual carry
+        is binary.  The per-limb generate/propagate bits are PACKED into one
+        uint32 lane and resolved with a single integer add — the software
+        carry-lookahead-adder trick:
 
-        def step(carry, row):
-            v = row + carry
-            return v >> LIMB_BITS, v & MASK
+            cin_mask = a | ((pb + a) ^ pb ^ a),  a = gb << 1
 
-        carry, rows = jax.lax.scan(step, jnp.zeros_like(tt[0]), tt)
-        return jnp.moveaxis(rows, 0, -1), carry
+        exact because g and p are disjoint (g_i=1 forces lo_i < MASK).
+        ~14 wide ops: no 16-step ripple (runtime depth), no moveaxis
+        (lax.scan's TPU transpose tax), tiny graph (XLA compile time is
+        superlinear in op count; the unrolled ripple was ~100 ops/add)."""
+        nl = t.shape[-1]
+        lo = t & MASK
+        hi = t >> LIMB_BITS
+        u = lo.at[..., 1:].add(hi[..., :-1])  # u_i = lo_i + hi_{i-1} (binaryized)
+        g = u >> LIMB_BITS  # generate, in {0,1}
+        p = ((u & MASK) == MASK).astype(_U32)  # propagate (disjoint from g)
+        w = (jnp.uint32(1) << jnp.arange(nl, dtype=_U32))
+        gb = jnp.sum(g * w, axis=-1, dtype=_U32)
+        pb = jnp.sum(p * w, axis=-1, dtype=_U32)
+        a = gb << 1
+        cin_mask = a | ((pb + a) ^ pb ^ a)  # carry INTO limb i = bit i
+        cin = (cin_mask[..., None] >> jnp.arange(nl, dtype=_U32)) & jnp.uint32(1)
+        out = (u + cin) & MASK
+        carry = hi[..., -1] + ((cin_mask >> nl) & jnp.uint32(1))
+        return out, carry
 
     def _normalize(self, t):
         """Carry-normalize, dropping overflow (value must fit 256 bits)."""

@@ -176,6 +176,7 @@ class Prover:
         # instance across Provers over the same pk (e.g. the single-chip and
         # mesh Provers in dryrun_multichip), halving its compile cost
         if getattr(pk, "_assemble_core_jit", None) is None:
+            pk._fb_tables = self._build_fb_tables(pk)
             pk._assemble_core_jit = jax.jit(self._assemble_core_impl)
         self._assemble_core = pk._assemble_core_jit
 
@@ -239,6 +240,67 @@ class Prover:
 
     # ------------------------------------------------- device proof assembly
     @staticmethod
+    def _build_fb_tables(pk):
+        """Host-precomputed 8-bit-window fixed-base tables for delta1/delta2
+        (the reference's Setup-style precompute, ref_ec.FixedBaseTable): the
+        proof randomizer muls r*d1, s*d1, rs*d1, s*d2 become 32 gathers + a
+        5-step tree sum instead of a 256-step double-and-add fori."""
+        d1 = jc.limbs_to_g1((pk.delta_g1[0], pk.delta_g1[1], _ONE_LIMBS))
+        d2 = jc.limbs_to_g2((pk.delta_g2[0], pk.delta_g2[1], _ONE_LIMBS2))
+        t1 = ec.FixedBaseTable(ec.G1_CURVE, d1)
+        t2 = ec.FixedBaseTable(ec.G2_CURVE, d2)
+        flat1 = [p for row in t1.tables for p in row]
+        flat2 = [p for row in t2.tables for p in row]
+        T1 = jnp.asarray(jc.g1_to_limbs(flat1).reshape(32, 256, 2, NLIMBS))
+        I1 = jnp.asarray(jc.g1_inf_mask(flat1).reshape(32, 256))
+        T2 = jnp.asarray(jc.g2_to_limbs(flat2).reshape(32, 256, 2, 2, NLIMBS))
+        I2 = jnp.asarray(jc.g2_inf_mask(flat2).reshape(32, 256))
+        return T1, I1, T2, I2
+
+    @staticmethod
+    def _tree_sum(ops, X, Y, Z, width):
+        """Halving-tree sum along axis 1 (fixed width, ONE point_add
+        instance); lanes past the live prefix are masked to infinity."""
+        logn = width.bit_length() - 1
+        cshape = X.shape[2:]
+
+        def body(k, carry):
+            X, Y, Z = carry
+            h = width >> (k + 1)
+
+            def shl(a):
+                pad = jnp.zeros_like(a)
+                cat = jnp.concatenate([a, pad], axis=1)
+                return jax.lax.dynamic_slice_in_dim(cat, h, width, axis=1)
+
+            ax, ay, az = jc.point_add(ops, (X, Y, Z), (shl(X), shl(Y), shl(Z)))
+            live = jax.lax.broadcasted_iota(jnp.int32, (X.shape[0], width), 1) < h
+            m = live.reshape(live.shape + (1,) * len(cshape))
+            return (
+                jnp.where(m, ax, jnp.zeros_like(ax)),
+                jnp.where(m, ay, jnp.zeros_like(ay)),
+                jnp.where(m, az, jnp.zeros_like(az)),
+            )
+
+        X, Y, Z = jax.lax.fori_loop(0, logn, body, (X, Y, Z))
+        return X[:, 0], Y[:, 0], Z[:, 0]
+
+    def _fb_mul(self, ops, T, Tinf, digits):
+        """digits (k, 32) base-256 LE digits -> (k,) points = sum_w T[w, d_w]."""
+        k = digits.shape[0]
+        widx = jnp.broadcast_to(jnp.arange(32)[None], (k, 32))
+        pts = T[widx, digits]  # (k, 32, 2, coord)
+        inf = Tinf[widx, digits]  # (k, 32)
+        cshape = pts.shape[3:]
+        one = jnp.asarray(jc._one_cached(isinstance(ops, jc.Fp2Ops)))
+        Z = jnp.where(
+            inf.reshape(inf.shape + (1,) * len(cshape)),
+            jnp.zeros((k, 32) + cshape, jnp.uint32),
+            jnp.broadcast_to(one, (k, 32) + cshape),
+        )
+        return self._tree_sum(ops, pts[:, :, 0], pts[:, :, 1], Z, 32)
+
+    @staticmethod
     def _mul_fori(ops, base, bits):
         """MSB-first double-and-add over a stacked base triple (k, ...);
         bits (256, k) uint32.  ONE double + ONE add instance in the graph."""
@@ -253,15 +315,17 @@ class Prover:
         return jax.lax.fori_loop(0, 256, body, zero)
 
     def _assemble_core_impl(self, a_msm, b1_msm, b2_msm, l_msm, h_msm,
-                            bits_g1, bits_g2, bits_ab):
+                            dig3, bits_ab):
         """Device-side proof randomization (was 330 ms of host Python EC per
-        proof): fixed-base muls [r,s,rs]*delta1 and s*delta2, then the
-        Groth16 combination A/B/C — all batched point ops under one jit.
-        bits_g1 (256,3) MSB-first bits of (r, s, r*s); bits_g2 (256,1) of s;
-        bits_ab (256,2) of (s, r) for the variable-base phase."""
+        proof): table-driven fixed-base muls [r,s,rs]*delta1 and s*delta2
+        (32 gathers + 5-step tree each), then the Groth16 combination A/B/C.
+        dig3 (4, 32): base-256 digits of (r, s, r*s, s-for-G2);
+        bits_ab (256, 2): MSB-first bits of (s, r) for the variable-base
+        muls s*A, r*B1 (the only sequential-depth piece left)."""
         pk = self.pk
         one = jnp.asarray(_ONE_LIMBS)
         one2 = jnp.asarray(_ONE_LIMBS2)
+        T1, I1, T2, I2 = pk._fb_tables
 
         def stack(ts):
             return tuple(jnp.stack(c, axis=0) for c in zip(*ts))
@@ -271,17 +335,12 @@ class Prover:
 
         alpha1 = (jnp.asarray(pk.alpha_g1[0]), jnp.asarray(pk.alpha_g1[1]), one)
         beta1 = (jnp.asarray(pk.beta_g1[0]), jnp.asarray(pk.beta_g1[1]), one)
-        delta1 = (jnp.asarray(pk.delta_g1[0]), jnp.asarray(pk.delta_g1[1]), one)
         beta2 = (jnp.asarray(pk.beta_g2[0]), jnp.asarray(pk.beta_g2[1]), one2)
-        delta2 = (jnp.asarray(pk.delta_g2[0]), jnp.asarray(pk.delta_g2[1]), one2)
 
-        # phase 1: fixed-base muls
-        d3 = tuple(jnp.broadcast_to(c, (3,) + c.shape) for c in delta1)
-        rd1_sd1_rsd1 = self._mul_fori(jc.G1, d3, bits_g1)
-        rd1, sd1, rsd1 = (lane(rd1_sd1_rsd1, i) for i in range(3))
-        sd2 = lane(
-            self._mul_fori(jc.G2, tuple(c[None] for c in delta2), bits_g2), 0
-        )
+        # phase 1: fixed-base muls from the windowed tables
+        g1m = self._fb_mul(jc.G1, T1, I1, dig3[:3])
+        rd1, sd1, rsd1 = (lane(g1m, i) for i in range(3))
+        sd2 = lane(self._fb_mul(jc.G2, T2, I2, dig3[3:]), 0)
         # A = alpha1 + A0 + r*delta1 ; B1 = beta1 + B1msm + s*delta1
         t = jc.point_add(jc.G1, stack([alpha1, beta1]), stack([a_msm, b1_msm]))
         t = jc.point_add(jc.G1, t, stack([rd1, sd1]))
@@ -305,6 +364,14 @@ class Prover:
                 out[i, j] = (v >> (255 - i)) & 1
         return out
 
+    @staticmethod
+    def _digits256(vals) -> np.ndarray:
+        out = np.zeros((len(vals), 32), np.int32)
+        for j, v in enumerate(vals):
+            for w in range(32):
+                out[j, w] = (v >> (8 * w)) & 0xFF
+        return out
+
     def _assemble(self, a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed,
                   d_aff=None, dsig_aff=None) -> Proof:
         if rng_seed is None:
@@ -316,8 +383,7 @@ class Prover:
 
         A, B2, C = self._assemble_core(
             a_msm, b1_msm, b2_msm, l_msm, h_msm,
-            jnp.asarray(self._bits_msb([r, s, r * s % P_FR])),
-            jnp.asarray(self._bits_msb([s])),
+            jnp.asarray(self._digits256([r, s, r * s % P_FR, s])),
             jnp.asarray(self._bits_msb([s, r])),
         )
         C1, C2 = ec.G1_CURVE, ec.G2_CURVE
