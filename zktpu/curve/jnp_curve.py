@@ -121,11 +121,17 @@ def _pallas_enabled() -> bool:
 
 
 def _pallas_n(F, p) -> int:
-    """Flattened lane count if the pallas fast path applies, else 0."""
-    if not isinstance(F, Fp1Ops) or not _pallas_enabled():
+    """Flattened lane count if the pallas fast path applies, else 0.
+
+    G1 coords are (..., 16); G2 coords (..., 2, 16) — both route to fused
+    f32-digit kernels (G2 via in-kernel Karatsuba, pallas_f32.f2_mul)."""
+    if not _pallas_enabled():
+        return 0
+    ndrop = 2 if isinstance(F, Fp2Ops) else 1
+    if len(p[0].shape) < ndrop + 1:
         return 0
     n = 1
-    for d in p[0].shape[:-1]:
+    for d in p[0].shape[:-ndrop]:
         n *= d
     return n if (n > 0 and n % 512 == 0) else 0
 
@@ -151,6 +157,8 @@ def point_double(F, p):
     if _pallas_n(F, p):
         from . import pallas_f32
 
+        if isinstance(F, Fp2Ops):
+            return pallas_f32.point_double_g2(p)
         return pallas_f32.point_double(p)
     x, y, z = p
     xx, yy = _bmul(F, [(x, x), (y, y)])
@@ -174,6 +182,8 @@ def point_add(F, p, q):
     if _pallas_n(F, p) and p[0].shape == q[0].shape:
         from . import pallas_f32
 
+        if isinstance(F, Fp2Ops):
+            return pallas_f32.point_add_g2(p, q)
         return pallas_f32.point_add(p, q)
     x1, y1, z1 = p
     x2, y2, z2 = q

@@ -177,6 +177,96 @@ def f_padd(x1, y1, z1, x2, y2, z2, c):
     return x3, y3, z3
 
 
+# ------------------------------------------------------------- Fp2 tower
+# Fp2 = Fp[u]/(u^2+1); an element is a PAIR of digit-row lists.  Karatsuba
+# over the f32 digit rows: the cross term multiplies un-normalized digit sums
+# (<= 510 per digit) — exactness audit: column sums <= 32*510^2 ~ 2^23.0,
+# plus REDC's m*p additions (< 2^21) stays under the 2^24 f32 exact limit.
+
+
+def f2_add(a, b, c):
+    return (f_add(a[0], b[0], c), f_add(a[1], b[1], c))
+
+
+def f2_sub(a, b, c):
+    return (f_sub(a[0], b[0], c), f_sub(a[1], b[1], c))
+
+
+def f2_mul(a, b, c):
+    a0, a1 = a
+    b0, b1 = b
+    t0 = f_mul(a0, b0, c)
+    t1 = f_mul(a1, b1, c)
+    sa = [x + y for x, y in zip(a0, a1)]  # digits <= 510, still exact
+    sb = [x + y for x, y in zip(b0, b1)]
+    t2 = f_mul(sa, sb, c)
+    c0 = f_sub(t0, t1, c)
+    c1 = f_sub(f_sub(t2, t0, c), t1, c)
+    return (c0, c1)
+
+
+def f2_sqr(a, c):
+    return f2_mul(a, a, c)
+
+
+def f2_is_zero(a):
+    return f_is_zero(a[0]) & f_is_zero(a[1])
+
+
+def _sel2(cond, a, b):
+    return (_sel(cond, a[0], b[0]), _sel(cond, a[1], b[1]))
+
+
+def f2_double(x, y, z, c):
+    xx = f2_sqr(x, c)
+    yy = f2_sqr(y, c)
+    yyyy = f2_sqr(yy, c)
+    s = f2_mul(x, yy, c)
+    s4 = f2_add(f2_add(s, s, c), f2_add(s, s, c), c)
+    m = f2_add(f2_add(xx, xx, c), xx, c)
+    x3 = f2_sub(f2_sqr(m, c), f2_add(s4, s4, c), c)
+    y8 = f2_add(f2_add(yyyy, yyyy, c), f2_add(yyyy, yyyy, c), c)
+    y3 = f2_sub(f2_mul(m, f2_sub(s4, x3, c), c), f2_add(y8, y8, c), c)
+    z3 = f2_mul(f2_add(y, y, c), z, c)
+    return x3, y3, z3
+
+
+def f2_padd(x1, y1, z1, x2, y2, z2, c):
+    p_inf = f2_is_zero(z1)
+    q_inf = f2_is_zero(z2)
+    z1z1 = f2_sqr(z1, c)
+    z2z2 = f2_sqr(z2, c)
+    u1 = f2_mul(x1, z2z2, c)
+    u2 = f2_mul(x2, z1z1, c)
+    s1 = f2_mul(y1, f2_mul(z2z2, z2, c), c)
+    s2 = f2_mul(y2, f2_mul(z1z1, z1, c), c)
+    h = f2_sub(u2, u1, c)
+    r = f2_sub(s2, s1, c)
+    same_x = f2_is_zero(h)
+    same_y = f2_is_zero(r)
+    i = f2_sqr(f2_add(h, h, c), c)
+    j = f2_mul(h, i, c)
+    r2 = f2_add(r, r, c)
+    v = f2_mul(u1, i, c)
+    x3 = f2_sub(f2_sub(f2_sqr(r2, c), j, c), f2_add(v, v, c), c)
+    s1j = f2_mul(s1, j, c)
+    y3 = f2_sub(f2_mul(r2, f2_sub(v, x3, c), c), f2_add(s1j, s1j, c), c)
+    zz = f2_mul(z1, z2, c)
+    z3 = f2_mul(f2_add(zz, zz, c), h, c)
+    dx, dy, dz = f2_double(x1, y1, z1, c)
+    is_dbl = same_x & same_y & ~p_inf & ~q_inf
+    is_cancel = same_x & ~same_y & ~p_inf & ~q_inf
+    x3 = _sel2(is_dbl, dx, x3)
+    y3 = _sel2(is_dbl, dy, y3)
+    z3 = _sel2(is_dbl, dz, z3)
+    zero2 = ([jnp.zeros_like(rr) for rr in z3[0]], [jnp.zeros_like(rr) for rr in z3[1]])
+    z3 = _sel2(is_cancel, zero2, z3)
+    x3 = _sel2(p_inf, x2, _sel2(q_inf, x1, x3))
+    y3 = _sel2(p_inf, y2, _sel2(q_inf, y1, y3))
+    z3 = _sel2(p_inf, z2, _sel2(q_inf, z1, z3))
+    return x3, y3, z3
+
+
 # -------------------------------------------------------------- kernel defs
 
 
@@ -206,6 +296,31 @@ def _pdbl_kernel(x, y, z, ox, oy, oz):
     _store(oz, rz)
 
 
+def _padd2_kernel(x10, x11, y10, y11, z10, z11, x20, x21, y20, y21, z20, z21,
+                  ox0, ox1, oy0, oy1, oz0, oz1):
+    rx, ry, rz = f2_padd(
+        (_rows(x10), _rows(x11)),
+        (_rows(y10), _rows(y11)),
+        (_rows(z10), _rows(z11)),
+        (_rows(x20), _rows(x21)),
+        (_rows(y20), _rows(y21)),
+        (_rows(z20), _rows(z21)),
+        FP_C,
+    )
+    _store(ox0, rx[0]); _store(ox1, rx[1])
+    _store(oy0, ry[0]); _store(oy1, ry[1])
+    _store(oz0, rz[0]); _store(oz1, rz[1])
+
+
+def _pdbl2_kernel(x0, x1, y0, y1, z0, z1, ox0, ox1, oy0, oy1, oz0, oz1):
+    rx, ry, rz = f2_double(
+        (_rows(x0), _rows(x1)), (_rows(y0), _rows(y1)), (_rows(z0), _rows(z1)), FP_C
+    )
+    _store(ox0, rx[0]); _store(ox1, rx[1])
+    _store(oy0, ry[0]); _store(oy1, ry[1])
+    _store(oz0, rz[0]); _store(oz1, rz[1])
+
+
 def _fp_mul_kernel(a, b, o):
     _store(o, f_mul(_rows(a), _rows(b), FP_C))
 
@@ -225,6 +340,8 @@ def _call(kind, n, interpret):
     kern, n_in, n_out = {
         "padd": (_padd_kernel, 6, 3),
         "pdbl": (_pdbl_kernel, 3, 3),
+        "padd2": (_padd2_kernel, 12, 6),
+        "pdbl2": (_pdbl2_kernel, 6, 6),
         "fp_mul": (_fp_mul_kernel, 2, 1),
         "fr_mul": (_fr_mul_kernel, 2, 1),
     }[kind]
@@ -284,6 +401,47 @@ def point_double(p, interpret=False):
         from_f32_digits(rx, shape),
         from_f32_digits(ry, shape),
         from_f32_digits(rz, shape),
+    )
+
+
+def _g2_split(t):
+    """(..., 2, 16) u32 Fp2 coord -> two (32, N) digit arrays (c0, c1)."""
+    return to_f32_digits(t[..., 0, :]), to_f32_digits(t[..., 1, :])
+
+
+def _g2_join(r0, r1, shape):
+    return jnp.stack(
+        [from_f32_digits(r0, shape[:-2] + (NLIMBS,)),
+         from_f32_digits(r1, shape[:-2] + (NLIMBS,))],
+        axis=-2,
+    )
+
+
+def point_add_g2(p, q, interpret=False):
+    shape = p[0].shape
+    args = []
+    for t in (*p, *q):
+        args.extend(_g2_split(t))
+    n = args[0].shape[1]
+    rx0, rx1, ry0, ry1, rz0, rz1 = _call("padd2", n, interpret)(*args)
+    return (
+        _g2_join(rx0, rx1, shape),
+        _g2_join(ry0, ry1, shape),
+        _g2_join(rz0, rz1, shape),
+    )
+
+
+def point_double_g2(p, interpret=False):
+    shape = p[0].shape
+    args = []
+    for t in p:
+        args.extend(_g2_split(t))
+    n = args[0].shape[1]
+    rx0, rx1, ry0, ry1, rz0, rz1 = _call("pdbl2", n, interpret)(*args)
+    return (
+        _g2_join(rx0, rx1, shape),
+        _g2_join(ry0, ry1, shape),
+        _g2_join(rz0, rz1, shape),
     )
 
 

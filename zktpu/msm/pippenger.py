@@ -298,10 +298,36 @@ def msm(points, inf_mask, scalar_limbs, ops=jc.G1):
     return combine_windows(ops, W)
 
 
+def combine_windows_dev(ops, W):
+    """Window Horner ON DEVICE: acc = ((W31*2^8 + W30)*2^8 + ...) — a fori
+    over the 32 windows whose body unrolls the 8 doublings + 1 add.
+
+    Why: the host combine costs ~30 device->host transfers; on a tunneled
+    TPU that is ~900 ms of round trips (measured), and TPU while-loop
+    iterations cost ~0.5 ms each, so the loop must iterate per WINDOW (32),
+    not per bit (256).  Runtime ~20 ms, one transfer for the final point."""
+    WX, WY, WZ = W
+
+    def body(i, acc):
+        w = NWINDOWS - 1 - i
+        for _ in range(WBITS):
+            acc = jc.point_double(ops, acc)
+        pw = (
+            jax.lax.dynamic_index_in_dim(WX, w, keepdims=False),
+            jax.lax.dynamic_index_in_dim(WY, w, keepdims=False),
+            jax.lax.dynamic_index_in_dim(WZ, w, keepdims=False),
+        )
+        return jc.point_add(ops, acc, pw)
+
+    # seed with the TOP window (saves 8 doublings of infinity)
+    acc = (WX[-1], WY[-1], WZ[-1])
+    return jax.lax.fori_loop(1, NWINDOWS, body, acc)
+
+
 def combine_windows_host(ops, W):
-    """Window Horner on the HOST: the 32 window sums are tiny (one point
-    each) and the 279 sequential point ops cost ~6 ms in Python vs ~360 ms of
-    latency-bound single-lane device steps.  Returns a Jacobian limb triple."""
+    """Window Horner on the HOST: kept for the CPU/test path (device->host
+    transfers are free there; on the tunneled TPU use combine_windows_dev).
+    Returns a Jacobian limb triple."""
     from ..curve import ref_ec as ec
     from ..field.params import FP, int_to_limbs
 
@@ -340,6 +366,7 @@ class StagedMSM:
         self._buckets_tree = jax.jit(functools.partial(stage_buckets_tree, ops=ops))
         self._reduce = jax.jit(functools.partial(stage_reduce, ops=ops))
         self._combine = jax.jit(functools.partial(combine_windows, ops))
+        self._combine_dev = jax.jit(functools.partial(combine_windows_dev, ops))
 
     def __call__(self, points, inf_mask, scalar_limbs):
         n = points.shape[0]
@@ -355,6 +382,12 @@ class StagedMSM:
         else:
             B = self._buckets_tree(ds, px, py, Z)
         W = self._reduce(*B)
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu":
+            # host combine costs ~30 device->host round trips (~900 ms over
+            # the tunnel); on-device Horner is one transfer of one point
+            return self._combine_dev(W)
         return combine_windows_host(self.ops, W)
 
 
