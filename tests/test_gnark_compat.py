@@ -153,3 +153,52 @@ def test_reference_pk_parses_consistently():
     for p in (pk.a[1], pk.b1[0], pk.z[0], pk.k[0]):
         assert p is None or _on_g1(p)
     assert _on_g2(pk.b2[0])
+
+
+# --------------------------------------------------------------------- r1cs
+
+
+@needs_ref
+@pytest.mark.parametrize(
+    "fname,n_constraints,n_public,n_secret,ncomm",
+    [
+        ("r1cs.chacha20", 23617, 1152, 256, 0),
+        ("r1cs.aes128", None, 141, 16, 1),
+        ("r1cs.aes256", None, 141, 32, 1),
+    ],
+)
+def test_reference_r1cs_metadata(fname, n_constraints, n_public, n_secret, ncomm):
+    from zktpu.compat import gnark_r1cs as gr
+
+    raw = open(os.path.join(REF, "circuits", "generated", fname), "rb").read()
+    meta = gr.read_r1cs_meta(raw)
+    assert meta.gnark_version == "0.11.0"
+    assert meta.scalar_field == ec.R_ORDER
+    if n_constraints is not None:
+        assert meta.nb_constraints == n_constraints
+    assert meta.nb_public == n_public
+    assert len(meta.secret_names) == n_secret
+    assert meta.nb_commitments == ncomm
+    # hint table names the binary-decomposition hint the circuits use
+    assert any("bits" in v for v in meta.hint_names.values())
+
+
+@needs_ref
+def test_reference_r1cs_consistent_with_pk_vk():
+    """Cross-artifact consistency: wire/public counts from the r1cs must
+    match the independently parsed pk (nbWires) and vk (len(ic))."""
+    from zktpu.compat import gnark_r1cs as gr
+
+    meta = gr.read_r1cs_meta(
+        open(os.path.join(REF, "circuits", "generated", "r1cs.chacha20"), "rb").read()
+    )
+    pk = gk.read_pk(open(PK_PATH, "rb").read())
+    vk = gk.read_vk(open(os.path.join(VK_DIR, "vk.chacha20"), "rb").read())
+    assert meta.nb_wires == pk.nb_wires == 23281
+    assert len(vk.ic) == meta.nb_public + 1
+    assert meta.nb_constraints <= pk.domain_n
+    # witness layout contract: Counter/Nonce/In/Out bit names in order
+    assert meta.public_names[0] == "1"
+    assert meta.public_names[1] == "Counter_0"
+    assert meta.public_names[33] == "Nonce_0_0"
+    assert meta.secret_names[0] == "Key_0_0"
