@@ -136,14 +136,13 @@ def main():
         lambda: prover._msm_bits_g1x3(prover._g1_stack, prover._g1_stack_inf, zpad),
     )
     b2 = stage(
-        "msm_b_g2", lambda: prover._msm_bits_g2(pk.b_g2_query, pk.b_g2_inf, zpad)
+        "msm_b_g2", lambda: prover._msm_bits_g2(*prover._dev["b_g2_query"], zpad)
     )
-    hd = np.asarray(h)
     t = time.time()
-    h_msm = prover._msm_g1(pk.h_query, pk.h_inf, hd)
+    h_msm = jax.block_until_ready(prover._msm_g1(*prover._dev["h_query"], h))
     log(f"msm_h compile+run {time.time()-t:.1f}s")
     t = time.time()
-    h_msm = prover._msm_g1(pk.h_query, pk.h_inf, hd)
+    h_msm = jax.block_until_ready(prover._msm_g1(*prover._dev["h_query"], h))
     record("chacha20_msm_h_ms", (time.time() - t) * 1000.0)
 
     # device assemble (fixed+variable-base randomizer muls under one jit)

@@ -140,32 +140,34 @@ class JnpField:
     def _mul_acc(self, a, b):
         """Column-accumulated 512-bit product; 32 digits, each < 2^21.
 
-        One broadcast outer product + two scatter-adds over static index maps
-        (anti-diagonal sums) — a far leaner XLA graph than per-limb
-        dynamic-update-slice chains (compile-time hot spot on big fused
-        kernels like point_add)."""
+        Anti-diagonal sums via 2*NLIMBS STATIC slice-adds: scatter-add over
+        a duplicate-index map serializes on TPU (measured as the dominant
+        cost of small-lane point ops); static dynamic-update-slices fuse."""
         shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
         a = jnp.broadcast_to(a, shape + (NLIMBS,))
         b = jnp.broadcast_to(b, shape + (NLIMBS,))
         o = a[..., :, None] * b[..., None, :]  # exact: (2^16-1)^2 < 2^32
-        lo = (o & MASK).reshape(shape + (NLIMBS * NLIMBS,))
-        hi = (o >> LIMB_BITS).reshape(shape + (NLIMBS * NLIMBS,))
+        lo = o & MASK
+        hi = o >> LIMB_BITS
         t = jnp.zeros(shape + (2 * NLIMBS,), dtype=_U32)
-        t = t.at[..., _DIAG_IDX].add(lo)
-        t = t.at[..., _DIAG_IDX + 1].add(hi)
+        for i in range(NLIMBS):
+            t = t.at[..., i : i + NLIMBS].add(lo[..., i, :])
+            t = t.at[..., i + 1 : i + 1 + NLIMBS].add(hi[..., i, :])
         return t
 
     def mont_reduce(self, t):
         """Montgomery REDC of a column-accumulated 32-digit value -> (...,16) canonical.
 
-        Shift-down formulation: each iteration clears the lowest digit with
-        m*p and shifts the accumulator right one digit, so every slice offset
-        is static and the whole loop is ONE ~10-op fori body — the XLA graph
-        stays tiny no matter how many muls a caller chains (point_add compile
-        time is dominated by this)."""
+        Shift-down formulation, UNROLLED: each step clears the lowest digit
+        with m*p and shifts the accumulator right one digit (static slices
+        throughout).  This used to be a lax.fori_loop to keep the XLA graph
+        small, but a 16-iteration while loop inside every mont_mul made
+        small-lane point ops latency-bound on TPU (the randomizer muls cost
+        ~0.5 ms/point-op); with the packed-CLA carries the unrolled body is
+        cheap to compile again."""
         pl = jnp.asarray(self.p_limbs, dtype=_U32)
-
-        def body(_, acc):
+        acc = t
+        for _ in range(NLIMBS):
             m = (acc[..., 0] * self.ninv) & MASK
             mp = m[..., None] * pl
             acc = acc.at[..., :NLIMBS].add(mp & MASK)
@@ -174,10 +176,8 @@ class JnpField:
             acc = jnp.concatenate(
                 [acc[..., 1:], jnp.zeros_like(acc[..., :1])], axis=-1
             )
-            return acc.at[..., 0].add(carry)
-
-        t = jax.lax.fori_loop(0, NLIMBS, body, t)
-        res = self._normalize(t[..., :NLIMBS])
+            acc = acc.at[..., 0].add(carry)
+        res = self._normalize(acc[..., :NLIMBS])
         return self._cond_sub_p(res)
 
     def mont_mul(self, a, b):

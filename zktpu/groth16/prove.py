@@ -127,6 +127,23 @@ class Prover:
         self.domain = Domain(self.n)
         self.nv_pad = pk.a_query.shape[0]
         self.mesh = mesh
+        # HBM residency (SURVEY §5 checkpoint: "proving-key layout for
+        # sharded HBM residency"): pin every MSM query on device ONCE —
+        # numpy args would re-upload ~12 MB per proof (several hundred ms
+        # over a tunneled chip)
+        self._dev = {
+            name: (
+                jnp.asarray(getattr(pk, name)),
+                jnp.asarray(getattr(pk, name[: -len("_query")] + "_inf")),
+            )
+            for name in ("a_query", "b_g1_query", "b_g2_query", "l_query", "h_query")
+        }
+        if pk.has_commitment:
+            self._dev["ck_query"] = (jnp.asarray(pk.ck_query), jnp.asarray(pk.ck_inf))
+            self._dev["ck_sigma_query"] = (
+                jnp.asarray(pk.ck_sigma_query),
+                jnp.asarray(pk.ck_sigma_inf),
+            )
 
         self._mat = {}
         for name, rows, cols, coeffs in (
@@ -134,10 +151,28 @@ class Prover:
             ("b", cs.b_rows, cs.b_cols, cs.b_coeffs),
             ("c", cs.c_rows, cs.c_cols, cs.c_coeffs),
         ):
+            # row-major COO -> padded per-row slot table (N, Tmax): the
+            # matvec becomes gather + sum over the term axis.  segment_sum
+            # scatters with duplicate indices serialize on TPU; the slot
+            # table is static per circuit, so the gather is free of any
+            # data-dependent indexing.
+            rows = np.asarray(rows)
+            counts = np.bincount(rows, minlength=self.n)
+            tmax = max(1, int(counts.max()))
+            nnz = len(rows)
+            slot = np.full((self.n, tmax), nnz, dtype=np.int64)  # sentinel
+            pos = np.zeros(self.n, dtype=np.int64)
+            for k, r in enumerate(rows.tolist()):
+                slot[r, pos[r]] = k
+                pos[r] += 1
             self._mat[name] = (
-                jnp.asarray(rows, dtype=jnp.int32),
+                jnp.asarray(slot, dtype=jnp.int32),
                 jnp.asarray(cols, dtype=jnp.int32),
-                jnp.asarray(_coeffs_r2(coeffs)),
+                jnp.asarray(
+                    np.concatenate(
+                        [_coeffs_r2(coeffs), np.zeros((1, NLIMBS), np.uint32)]
+                    )
+                ),
             )
 
         self._h_scalars = jax.jit(self._h_scalars_impl)
@@ -182,11 +217,15 @@ class Prover:
 
     # ----------------------------------------------------------- jitted core
     def _matvec_bits(self, name, zbits):
-        """<M_k, z> for all rows k; zbits (nv,) uint32 in {0,1} -> (N, 16) mont."""
-        rows, cols, coeffs = self._mat[name]
+        """<M_k, z> for all rows k; zbits (nv,) uint32 in {0,1} -> (N, 16) mont.
+
+        Per-row sums via the static slot table (gather + axis-sum; see
+        __init__) — column sums stay < Tmax * 2^16 < 2^22, one REDC/row."""
+        slot, cols, coeffs = self._mat[name]
         sel = jnp.take(zbits, cols)  # (nnz,)
-        vals = jnp.where(sel[:, None] != 0, coeffs, jnp.uint32(0))
-        acc = jax.ops.segment_sum(vals, rows, num_segments=self.n)  # (N,16)
+        vals = jnp.where(sel[:, None] != 0, coeffs[:-1], jnp.uint32(0))
+        vals = jnp.concatenate([vals, coeffs[-1:]], axis=0)  # sentinel zero row
+        acc = jnp.sum(jnp.take(vals, slot, axis=0), axis=1, dtype=jnp.uint32)
         wide = jnp.concatenate(
             [acc, jnp.zeros((self.n, NLIMBS), jnp.uint32)], axis=-1
         )
@@ -194,12 +233,13 @@ class Prover:
 
     def _matvec_general(self, name, z_mont):
         """<M_k, z> for general field witness; z_mont (nv, 16) Montgomery."""
-        rows, cols, coeffs = self._mat[name]
+        slot, cols, coeffs = self._mat[name]
         zz = jnp.take(z_mont, cols, axis=0)  # (nnz, 16)
         # coeffs stored as c*R^2 (canonical): mont_mul(cR^2, zR) = czR^2, so a
-        # digit-space segment sum + ONE final REDC per row lands in mont form.
-        vals = F.mont_mul(coeffs, zz)
-        acc = jax.ops.segment_sum(vals, rows, num_segments=self.n)
+        # digit-space row sum + ONE final REDC per row lands in mont form.
+        vals = F.mont_mul(coeffs[:-1], zz)
+        vals = jnp.concatenate([vals, coeffs[-1:] * 0], axis=0)
+        acc = jnp.sum(jnp.take(vals, slot, axis=0), axis=1, dtype=jnp.uint32)
         wide = jnp.concatenate(
             [acc, jnp.zeros((self.n, NLIMBS), jnp.uint32)], axis=-1
         )
@@ -259,30 +299,18 @@ class Prover:
 
     @staticmethod
     def _tree_sum(ops, X, Y, Z, width):
-        """Halving-tree sum along axis 1 (fixed width, ONE point_add
-        instance); lanes past the live prefix are masked to infinity."""
-        logn = width.bit_length() - 1
-        cshape = X.shape[2:]
-
-        def body(k, carry):
-            X, Y, Z = carry
-            h = width >> (k + 1)
-
-            def shl(a):
-                pad = jnp.zeros_like(a)
-                cat = jnp.concatenate([a, pad], axis=1)
-                return jax.lax.dynamic_slice_in_dim(cat, h, width, axis=1)
-
-            ax, ay, az = jc.point_add(ops, (X, Y, Z), (shl(X), shl(Y), shl(Z)))
-            live = jax.lax.broadcasted_iota(jnp.int32, (X.shape[0], width), 1) < h
-            m = live.reshape(live.shape + (1,) * len(cshape))
-            return (
-                jnp.where(m, ax, jnp.zeros_like(ax)),
-                jnp.where(m, ay, jnp.zeros_like(ay)),
-                jnp.where(m, az, jnp.zeros_like(az)),
+        """Halving-tree sum along axis 1, UNROLLED at true shapes: log2(w)
+        point_add instances, but the whole tree fuses into one dispatch —
+        loop-carried tiny point ops cost ~ms each on a tunneled chip."""
+        m = width
+        while m > 1:
+            h = m // 2
+            X, Y, Z = jc.point_add(
+                ops,
+                (X[:, :h], Y[:, :h], Z[:, :h]),
+                (X[:, h : 2 * h], Y[:, h : 2 * h], Z[:, h : 2 * h]),
             )
-
-        X, Y, Z = jax.lax.fori_loop(0, logn, body, (X, Y, Z))
+            m = h
         return X[:, 0], Y[:, 0], Z[:, 0]
 
     def _fb_mul(self, ops, T, Tinf, digits):
@@ -305,22 +333,23 @@ class Prover:
         """MSB-first double-and-add over a stacked base triple (k, ...);
         bits (256, k) uint32.
 
-        The fori iterates 32 times with EIGHT unrolled double/add/select
-        steps per body: TPU while-loop iterations cost ~0.5 ms each
-        (measured), so per-bit iteration was 126 ms for the pair of
-        variable-base randomizer muls; per-byte iteration is ~16 ms."""
+        Loop-carried tiny point ops cost ~ms per fori iteration on a
+        tunneled chip (kernel-split latency), so the body unrolls 16
+        double/add/select steps on TPU (16 iterations total); 8 elsewhere
+        (XLA CPU compile is superlinear in body size)."""
         zero = tuple(jnp.zeros_like(t) for t in base)
+        unroll = 16 if jax.default_backend() == "tpu" else 8
 
         def body(i, acc):
-            chunk = jax.lax.dynamic_slice_in_dim(bits, i * 8, 8, axis=0)
-            for j in range(8):
+            chunk = jax.lax.dynamic_slice_in_dim(bits, i * unroll, unroll, axis=0)
+            for j in range(unroll):
                 acc = jc.point_double(ops, acc)
                 added = jc.point_add(ops, acc, base)
                 keep = chunk[j] == 0
                 acc = jc.point_select(ops, keep, acc, added)
             return acc
 
-        return jax.lax.fori_loop(0, 32, body, zero)
+        return jax.lax.fori_loop(0, 256 // unroll, body, zero)
 
     def _assemble_core_impl(self, a_msm, b1_msm, b2_msm, l_msm, h_msm,
                             dig3, bits_ab):
@@ -423,17 +452,19 @@ class Prover:
                 b1_msm = tuple(t[1] for t in g1x3)
                 l_msm = tuple(t[2] for t in g1x3)
                 b2_msm = jax.block_until_ready(
-                    self._msm_bits_g2(pk.b_g2_query, pk.b_g2_inf, zpad_j)
+                    self._msm_bits_g2(*self._dev["b_g2_query"], zpad_j)
                 )
             else:
-                a_msm = self._msm_bits_g1(pk.a_query, pk.a_inf, zpad_j)
-                b1_msm = self._msm_bits_g1(pk.b_g1_query, pk.b_g1_inf, zpad_j)
-                b2_msm = self._msm_bits_g2(pk.b_g2_query, pk.b_g2_inf, zpad_j)
+                a_msm = self._msm_bits_g1(*self._dev["a_query"], zpad_j)
+                b1_msm = self._msm_bits_g1(*self._dev["b_g1_query"], zpad_j)
+                b2_msm = self._msm_bits_g2(*self._dev["b_g2_query"], zpad_j)
                 l_msm = jax.block_until_ready(
-                    self._msm_bits_g1(pk.l_query, pk.l_inf, zpad_j)
+                    self._msm_bits_g1(*self._dev["l_query"], zpad_j)
                 )
         with stage("prove.msm_h", items=self.n):
-            h_msm = jax.block_until_ready(self._msm_g1(pk.h_query, pk.h_inf, h_digits))
+            h_msm = jax.block_until_ready(
+                self._msm_g1(*self._dev["h_query"], h_digits)
+            )
         with stage("prove.assemble"):
             return self._assemble(a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed)
 
@@ -441,10 +472,9 @@ class Prover:
     def commit(self, z_digits: np.ndarray):
         """Pedersen commitment over the committed wires: D = sum z_i CK_i,
         D_sigma = sum z_i (sigma CK_i).  z_digits: (nv_pad, 16) canonical."""
-        pk = self.pk
         zj = jnp.asarray(z_digits)
-        d = self._msm_g1(pk.ck_query, pk.ck_inf, zj)
-        ds = self._msm_g1(pk.ck_sigma_query, pk.ck_sigma_inf, zj)
+        d = self._msm_g1(*self._dev["ck_query"], zj)
+        ds = self._msm_g1(*self._dev["ck_sigma_query"], zj)
         D = jc.limbs_to_g1(tuple(np.asarray(t) for t in d))
         DS = jc.limbs_to_g1(tuple(np.asarray(t) for t in ds))
         d_aff = ec.G1_CURVE.to_affine(D)
@@ -464,12 +494,11 @@ class Prover:
         assert z_mont.shape == (self.cs.num_vars, NLIMBS)
         zd = jnp.asarray(z_digits)
         h_digits = self._h_scalars_general(jnp.asarray(z_mont))
-        pk = self.pk
-        a_msm = self._msm_g1(pk.a_query, pk.a_inf, zd)
-        b1_msm = self._msm_g1(pk.b_g1_query, pk.b_g1_inf, zd)
-        b2_msm = self._msm_g2(pk.b_g2_query, pk.b_g2_inf, zd)
-        l_msm = self._msm_g1(pk.l_query, pk.l_inf, zd)
-        h_msm = self._msm_g1(pk.h_query, pk.h_inf, h_digits)
+        a_msm = self._msm_g1(*self._dev["a_query"], zd)
+        b1_msm = self._msm_g1(*self._dev["b_g1_query"], zd)
+        b2_msm = self._msm_g2(*self._dev["b_g2_query"], zd)
+        l_msm = self._msm_g1(*self._dev["l_query"], zd)
+        h_msm = self._msm_g1(*self._dev["h_query"], h_digits)
         return self._assemble(
             a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed, d_aff, dsig_aff
         )
