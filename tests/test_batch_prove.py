@@ -1,0 +1,63 @@
+"""Data-parallel batch proving (SURVEY §2.3 DP axis): Prover.prove_batch
+must produce BYTE-IDENTICAL proofs to one-at-a-time Prover.prove for the
+same rng seeds — the batch path reuses every algorithm, only vmapped."""
+
+import numpy as np
+import pytest
+
+from zktpu.api.service import proof_to_bytes
+from zktpu.groth16.prove import Prover
+from zktpu.groth16.setup import setup
+from zktpu.groth16.verify import verify
+from zktpu.r1cs.builder import Builder, lc_var
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    b = Builder()
+    pubs = b.pub(8)
+    secs = b.secret(8)
+    prev = None
+    for p, s in zip(pubs, secs):
+        b.assert_bool(lc_var(s))
+        t = b.xor(lc_var(s), lc_var(p))
+        prev = b.xor(t, prev) if prev is not None else t
+    cs = b.compile()
+    pk, vk = setup(cs, seed=b"batch-test")
+    return b, cs, pk, vk
+
+
+def _witness(b, cs, svals, pvals):
+    z = [1] + pvals + svals
+    prev = None
+    for p, s in zip(pvals, svals):
+        t = s ^ p
+        z.append(t)
+        if prev is not None:
+            prev = t ^ prev
+            z.append(prev)
+        else:
+            prev = t
+    z = np.asarray(z[: cs.num_vars], dtype=np.uint32)
+    assert b.check_witness(z)
+    return z
+
+
+def test_batch_matches_single(tiny):
+    b, cs, pk, vk = tiny
+    prover = Prover(cs, pk)
+    rng = np.random.default_rng(5)
+    zs, pubs, seeds = [], [], []
+    for i in range(2):
+        svals = [int(x) for x in rng.integers(0, 2, 8)]
+        pvals = [int(x) for x in rng.integers(0, 2, 8)]
+        zs.append(_witness(b, cs, svals, pvals))
+        pubs.append(pvals)
+        seeds.append(b"batch-%d" % i)
+    singles = [prover.prove(z, rng_seed=s) for z, s in zip(zs, seeds)]
+    batch = prover.prove_batch(np.stack(zs), seeds)
+    for one, many in zip(singles, batch):
+        assert proof_to_bytes(one) == proof_to_bytes(many)
+    # byte equality makes per-proof pairing checks redundant; verify ONE
+    # (the pairing is ~60 s of pure Python per call on the CPU test host)
+    assert verify(batch[0], vk, pubs[0])

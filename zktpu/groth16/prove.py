@@ -468,6 +468,77 @@ class Prover:
         with stage("prove.assemble"):
             return self._assemble(a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed)
 
+    def prove_batch(self, zbits_batch: np.ndarray, rng_seeds) -> list:
+        """Data-parallel proving (SURVEY §2.3 DP axis): B independent bit
+        witnesses -> B proofs in ONE vmapped dispatch chain per stage.
+        Seeded proofs are byte-identical to Prover.prove one-at-a-time."""
+        from ..utils.metrics import stage
+
+        bsz, nv = zbits_batch.shape
+        assert nv == self.cs.num_vars and len(rng_seeds) == bsz
+        if not hasattr(self, "_batched"):
+            self._batched = {
+                "h": jax.jit(jax.vmap(self._h_scalars_impl)),
+                "g1x3": jax.jit(
+                    jax.vmap(
+                        lambda bits: jax.vmap(
+                            functools.partial(pp.msm_bits, ops=jc.G1),
+                            in_axes=(0, 0, None),
+                        )(self._g1_stack, self._g1_stack_inf, bits)
+                    )
+                ),
+                "g2": jax.jit(
+                    jax.vmap(
+                        lambda bits: pp.msm_bits(
+                            *self._dev["b_g2_query"], bits, ops=jc.G2
+                        )
+                    )
+                ),
+                "assemble": jax.jit(jax.vmap(self._assemble_core_impl)),
+            }
+        zpad = np.zeros((bsz, self.nv_pad), dtype=np.uint32)
+        zpad[:, : self.cs.num_vars] = zbits_batch
+        zj = jnp.asarray(zpad)
+        with stage("prove_batch.h_scalars", items=bsz * self.n):
+            h_digits = self._batched["h"](jnp.asarray(zbits_batch))
+        with stage("prove_batch.msm_witness", items=4 * bsz * self.nv_pad):
+            g1x3 = self._batched["g1x3"](zj)
+            b2 = self._batched["g2"](zj)
+        with stage("prove_batch.msm_h", items=bsz * self.n):
+            h_msm = self._msm_g1.batched(*self._dev["h_query"], h_digits)
+        rs = []
+        for seed in rng_seeds:
+            r = int.from_bytes(hashlib.sha512(seed + b"r").digest(), "big") % P_FR
+            s = int.from_bytes(hashlib.sha512(seed + b"s").digest(), "big") % P_FR
+            rs.append((r, s))
+        dig3 = jnp.asarray(
+            np.stack([self._digits256([r, s, r * s % P_FR, s]) for r, s in rs])
+        )
+        bits_ab = jnp.asarray(np.stack([self._bits_msb([s, r]) for r, s in rs]))
+        with stage("prove_batch.assemble", items=bsz):
+            a_msm = tuple(t[:, 0] for t in g1x3)
+            b1_msm = tuple(t[:, 1] for t in g1x3)
+            l_msm = tuple(t[:, 2] for t in g1x3)
+            A, B2, C = self._batched["assemble"](
+                a_msm, b1_msm, b2, l_msm, h_msm, dig3, bits_ab
+            )
+            A = tuple(np.asarray(t) for t in A)
+            B2 = tuple(np.asarray(t) for t in B2)
+            C = tuple(np.asarray(t) for t in C)
+        out = []
+        for i in range(bsz):
+            a_aff = ec.G1_CURVE.to_affine(jc.limbs_to_g1(tuple(t[i] for t in A)))
+            b_aff = ec.G2_CURVE.to_affine(jc.limbs_to_g2(tuple(t[i] for t in B2)))
+            c_aff = ec.G1_CURVE.to_affine(jc.limbs_to_g1(tuple(t[i] for t in C)))
+            out.append(
+                Proof(
+                    a=(a_aff[0], a_aff[1]),
+                    b=((b_aff[0].c0, b_aff[0].c1), (b_aff[1].c0, b_aff[1].c1)),
+                    c=(c_aff[0], c_aff[1]),
+                )
+            )
+        return out
+
     # ---------------------------------------------- general/lookup witness
     def commit(self, z_digits: np.ndarray):
         """Pedersen commitment over the committed wires: D = sum z_i CK_i,

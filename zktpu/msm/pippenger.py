@@ -368,6 +368,31 @@ class StagedMSM:
         self._combine = jax.jit(functools.partial(combine_windows, ops))
         self._combine_dev = jax.jit(functools.partial(combine_windows_dev, ops))
 
+    def batched(self, points, inf_mask, scalars_b):
+        """Data-parallel MSMs: same point set, (B, N, 16) scalar batch ->
+        Jacobian triple with a leading B axis.  Every stage vmapped; one
+        dispatch chain regardless of B (the DP axis of SURVEY §2.3)."""
+        if not hasattr(self, "_bjits"):
+            ops = self.ops
+            self._bjits = (
+                jax.jit(
+                    jax.vmap(
+                        functools.partial(stage_prepare, ops=ops),
+                        in_axes=(None, None, 0),
+                    )
+                ),
+                jax.jit(
+                    jax.vmap(lambda ds, px, py, Z: stage_buckets_tree(ds, px, py, Z, ops=ops))
+                ),
+                jax.jit(jax.vmap(functools.partial(stage_reduce, ops=ops))),
+                jax.jit(jax.vmap(functools.partial(combine_windows_dev, ops))),
+            )
+        prep, tree, reduce_, comb = self._bjits
+        ds, heads, px, py, Z = prep(points, inf_mask, scalars_b)
+        B = tree(ds, px, py, Z)
+        W = reduce_(*B)
+        return comb(W)
+
     def __call__(self, points, inf_mask, scalar_limbs):
         n = points.shape[0]
         assert n & (n - 1) == 0, "pad N to a power of two"
