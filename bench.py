@@ -25,6 +25,11 @@ import signal
 import sys
 import time
 
+# the prove latency loop must run the production no-sync dispatch chain:
+# per-stage block_until_ready costs a host round trip each (~25 ms over the
+# tunnel); the per-stage warmups below measure stage costs explicitly
+os.environ.setdefault("ZKTPU_METRICS", "0")
+
 GNARK_16CORE_PROVE_MS_ESTIMATE = 200.0
 
 T0 = time.time()
@@ -111,7 +116,8 @@ def main():
     pt = bytes(64)
     ct = bytes(a ^ b for a, b in zip(pt, cc.words_to_bytes_le(ks)))
     wargs = (ctr, nw, cc.bytes_to_words_be(pt)[None], cc.bytes_to_words_be(ct)[None], kw)
-    z = np.asarray(cc.witness_bits(*wargs))[0]
+    z = cc.witness_bits(*wargs)[0]  # stays on device (service behavior)
+    np.asarray(z)
     log(f"witness (compile+run) {time.time()-t0:.1f}s")
     t0 = time.time()
     np.asarray(cc.witness_bits(*wargs))
@@ -161,15 +167,30 @@ def main():
     prover.prove(z, rng_seed=b"warmup")
     log(f"warmup full prove: {time.time()-t0:.1f}s")
 
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
     t0 = time.time()
     for i in range(runs):
         prover.prove(z, rng_seed=b"bench%d" % i)
     per_proof_ms = (time.time() - t0) / runs * 1000.0
     log(f"prove latency: {per_proof_ms:.1f} ms/proof over {runs} runs")
-    from zktpu.utils.metrics import dump_json
+    record("chacha20_prove_ms", per_proof_ms)
 
-    log("stage metrics:", dump_json())
+    # batched throughput (DP axis): 8 proofs per dispatch chain
+    try:
+        bsz = int(os.environ.get("BENCH_BATCH", "8"))
+        zb = np.stack([z] * bsz)
+        seeds = [b"bench-batch%d" % i for i in range(bsz)]
+        prover.prove_batch(zb, seeds)  # compile
+        t0 = time.time()
+        prover.prove_batch(zb, seeds)
+        batch_s = time.time() - t0
+        log(
+            f"batch{bsz} prove: {batch_s*1000:.1f} ms total = "
+            f"{bsz/batch_s:.2f} proofs/s ({batch_s/bsz*1000:.1f} ms/proof)"
+        )
+    except Exception as e:  # noqa: BLE001 — throughput stage is best-effort
+        log("batch prove failed:", repr(e))
+
     record("chacha20_prove_ms", per_proof_ms)
     BEST["metric"] = "chacha20_prove_ms"  # canonical name for the judge
     emit_and_exit(0)

@@ -235,10 +235,10 @@ class ChaChaProverService:
         ctr = np.array([counter], dtype=np.uint32)
         ks = np.asarray(cc.chacha20_block_words(kw, ctr, nw))[0]
         ct = bytes(a ^ b for a, b in zip(inp, cc.words_to_bytes_le(ks)))
-        z = np.asarray(
-            cc.witness_bits(
-                ctr, nw, cc.bytes_to_words_be(inp)[None], cc.bytes_to_words_be(ct)[None], kw
-            )
+        # keep the witness ON DEVICE: a host round trip costs ~130 ms on a
+        # tunneled chip, and the prover consumes device arrays directly
+        z = cc.witness_bits(
+            ctr, nw, cc.bytes_to_words_be(inp)[None], cc.bytes_to_words_be(ct)[None], kw
         )[0]
         proof = self.prover.prove(z)
         return proof_to_bytes(proof), ct

@@ -145,35 +145,23 @@ class Prover:
                 jnp.asarray(pk.ck_sigma_inf),
             )
 
-        self._mat = {}
-        for name, rows, cols, coeffs in (
-            ("a", cs.a_rows, cs.a_cols, cs.a_coeffs),
-            ("b", cs.b_rows, cs.b_cols, cs.b_coeffs),
-            ("c", cs.c_rows, cs.c_cols, cs.c_coeffs),
-        ):
-            # row-major COO -> padded per-row slot table (N, Tmax): the
-            # matvec becomes gather + sum over the term axis.  segment_sum
-            # scatters with duplicate indices serialize on TPU; the slot
-            # table is static per circuit, so the gather is free of any
-            # data-dependent indexing.
-            rows = np.asarray(rows)
-            counts = np.bincount(rows, minlength=self.n)
-            tmax = max(1, int(counts.max()))
-            nnz = len(rows)
-            slot = np.full((self.n, tmax), nnz, dtype=np.int64)  # sentinel
-            pos = np.zeros(self.n, dtype=np.int64)
-            for k, r in enumerate(rows.tolist()):
-                slot[r, pos[r]] = k
-                pos[r] += 1
-            self._mat[name] = (
-                jnp.asarray(slot, dtype=jnp.int32),
-                jnp.asarray(cols, dtype=jnp.int32),
-                jnp.asarray(
-                    np.concatenate(
-                        [_coeffs_r2(coeffs), np.zeros((1, NLIMBS), np.uint32)]
-                    )
-                ),
-            )
+        # A/B/C COO fused into ONE index space: rows of B offset by N, rows
+        # of C by 2N — the whole witness solve is a single take + where +
+        # segment_sum over 3N segments (one dispatch instead of three; the
+        # matvecs dominate h_scalars on chip).
+        rows_all = np.concatenate(
+            [np.asarray(cs.a_rows), np.asarray(cs.b_rows) + self.n,
+             np.asarray(cs.c_rows) + 2 * self.n]
+        )
+        cols_all = np.concatenate(
+            [np.asarray(cs.a_cols), np.asarray(cs.b_cols), np.asarray(cs.c_cols)]
+        )
+        coeffs_all = list(cs.a_coeffs) + list(cs.b_coeffs) + list(cs.c_coeffs)
+        self._mat_fused = (
+            jnp.asarray(rows_all, dtype=jnp.int32),
+            jnp.asarray(cols_all, dtype=jnp.int32),
+            jnp.asarray(_coeffs_r2(coeffs_all)),
+        )
 
         self._h_scalars = jax.jit(self._h_scalars_impl)
         self._h_scalars_general = jax.jit(self._h_scalars_general_impl)
@@ -216,40 +204,37 @@ class Prover:
         self._assemble_core = pk._assemble_core_jit
 
     # ----------------------------------------------------------- jitted core
-    def _matvec_bits(self, name, zbits):
-        """<M_k, z> for all rows k; zbits (nv,) uint32 in {0,1} -> (N, 16) mont.
-
-        Per-row sums via the static slot table (gather + axis-sum; see
-        __init__) — column sums stay < Tmax * 2^16 < 2^22, one REDC/row."""
-        slot, cols, coeffs = self._mat[name]
+    def _matvecs_bits(self, zbits):
+        """<A_k,z>, <B_k,z>, <C_k,z> for all rows in ONE fused segment_sum;
+        zbits (nv,) uint32 in {0,1} -> three (N, 16) Montgomery arrays."""
+        rows, cols, coeffs = self._mat_fused
         sel = jnp.take(zbits, cols)  # (nnz,)
-        vals = jnp.where(sel[:, None] != 0, coeffs[:-1], jnp.uint32(0))
-        vals = jnp.concatenate([vals, coeffs[-1:]], axis=0)  # sentinel zero row
-        acc = jnp.sum(jnp.take(vals, slot, axis=0), axis=1, dtype=jnp.uint32)
+        vals = jnp.where(sel[:, None] != 0, coeffs, jnp.uint32(0))
+        acc = jax.ops.segment_sum(vals, rows, num_segments=3 * self.n)
         wide = jnp.concatenate(
-            [acc, jnp.zeros((self.n, NLIMBS), jnp.uint32)], axis=-1
+            [acc, jnp.zeros((3 * self.n, NLIMBS), jnp.uint32)], axis=-1
         )
-        return F.mont_reduce(wide)  # one REDC per row
+        m = F.mont_reduce(wide)  # one REDC per row
+        return m[: self.n], m[self.n : 2 * self.n], m[2 * self.n :]
 
-    def _matvec_general(self, name, z_mont):
-        """<M_k, z> for general field witness; z_mont (nv, 16) Montgomery."""
-        slot, cols, coeffs = self._mat[name]
+    def _matvecs_general(self, z_mont):
+        """Fused A/B/C matvecs for a general field witness (nv, 16) mont."""
+        rows, cols, coeffs = self._mat_fused
         zz = jnp.take(z_mont, cols, axis=0)  # (nnz, 16)
         # coeffs stored as c*R^2 (canonical): mont_mul(cR^2, zR) = czR^2, so a
-        # digit-space row sum + ONE final REDC per row lands in mont form.
-        vals = F.mont_mul(coeffs[:-1], zz)
-        vals = jnp.concatenate([vals, coeffs[-1:] * 0], axis=0)
-        acc = jnp.sum(jnp.take(vals, slot, axis=0), axis=1, dtype=jnp.uint32)
+        # digit-space segment sum + ONE final REDC per row lands in mont form.
+        vals = F.mont_mul(coeffs, zz)
+        acc = jax.ops.segment_sum(vals, rows, num_segments=3 * self.n)
         wide = jnp.concatenate(
-            [acc, jnp.zeros((self.n, NLIMBS), jnp.uint32)], axis=-1
+            [acc, jnp.zeros((3 * self.n, NLIMBS), jnp.uint32)], axis=-1
         )
-        return F.mont_reduce(wide)
+        m = F.mont_reduce(wide)
+        return m[: self.n], m[self.n : 2 * self.n], m[2 * self.n :]
 
     def _quotient(self, az, bz, cz):
         d = self.domain
-        a_cos = coset_ntt(intt(az, d), d)
-        b_cos = coset_ntt(intt(bz, d), d)
-        c_cos = coset_ntt(intt(cz, d), d)
+        cos = coset_ntt(intt(jnp.stack([az, bz, cz]), d), d)  # one batched pass
+        a_cos, b_cos, c_cos = cos[0], cos[1], cos[2]
         prod = F.sub(F.mont_mul(a_cos, b_cos), c_cos)
         h_cos = F.mont_mul(prod, jnp.asarray(d.z_coset_inv_mont))
         h = coset_intt(h_cos, d)
@@ -259,24 +244,22 @@ class Prover:
 
     def _h_scalars_impl(self, zbits):
         """zbits (nv,) -> H-query scalars (N, 16) canonical digits."""
-        return self._quotient(
-            self._matvec_bits("a", zbits),
-            self._matvec_bits("b", zbits),
-            self._matvec_bits("c", zbits),
-        )
+        return self._quotient(*self._matvecs_bits(zbits))
 
     def _h_scalars_general_impl(self, z_mont):
-        return self._quotient(
-            self._matvec_general("a", z_mont),
-            self._matvec_general("b", z_mont),
-            self._matvec_general("c", z_mont),
-        )
+        return self._quotient(*self._matvecs_general(z_mont))
 
     # ------------------------------------------------------------- host side
-    def _pad_bits(self, zbits: np.ndarray) -> jnp.ndarray:
-        zpad = np.zeros(self.nv_pad, dtype=np.uint32)
-        zpad[: self.cs.num_vars] = zbits
-        return jnp.asarray(zpad)
+    def _pad_bits(self, zbits) -> jnp.ndarray:
+        """Zero-pad the witness to nv_pad ON DEVICE (accepts a device array:
+        the service keeps the witness on device end-to-end — a host round
+        trip costs ~130 ms on a tunneled chip)."""
+        if not hasattr(self, "_pad_jit"):
+            nv, nv_pad = self.cs.num_vars, self.nv_pad
+            self._pad_jit = jax.jit(
+                lambda z: jnp.zeros(nv_pad, jnp.uint32).at[:nv].set(z)
+            )
+        return self._pad_jit(jnp.asarray(zbits))
 
     # ------------------------------------------------- device proof assembly
     @staticmethod
@@ -391,7 +374,16 @@ class Prover:
         )
         C = jc.point_add(jc.G1, lane(u, 0), lane(u, 1))
         C = jc.point_add(jc.G1, C, jc.point_neg(jc.G1, rsd1))
-        return A, B2, C
+        # pack A | B2 | C into ONE (12, 16) array: each device->host
+        # transfer costs ~25 ms over the tunnel; nine of them cost ~220 ms
+        return jnp.concatenate(
+            [
+                jnp.stack([A[0], A[1], A[2]]),
+                B2[0], B2[1], B2[2],
+                jnp.stack([C[0], C[1], C[2]]),
+            ],
+            axis=0,
+        )
 
     @staticmethod
     def _bits_msb(vals) -> np.ndarray:
@@ -418,15 +410,44 @@ class Prover:
             r = int.from_bytes(hashlib.sha512(rng_seed + b"r").digest(), "big") % P_FR
             s = int.from_bytes(hashlib.sha512(rng_seed + b"s").digest(), "big") % P_FR
 
-        A, B2, C = self._assemble_core(
-            a_msm, b1_msm, b2_msm, l_msm, h_msm,
-            jnp.asarray(self._digits256([r, s, r * s % P_FR, s])),
-            jnp.asarray(self._bits_msb([s, r])),
+        # ONE fused upload for the randomizer digits+bits (host->device
+        # crossings cost ~130 ms each over the tunnel)
+        fused = np.concatenate(
+            [
+                self._digits256([r, s, r * s % P_FR, s]).reshape(-1),
+                self._bits_msb([s, r]).reshape(-1).astype(np.int32),
+            ]
+        ).astype(np.int32)
+        packed = np.asarray(
+            self._assemble_fused(a_msm, b1_msm, b2_msm, l_msm, h_msm, fused)
         )
-        C1, C2 = ec.G1_CURVE, ec.G2_CURVE
-        a_aff = C1.to_affine(jc.limbs_to_g1(tuple(np.asarray(t) for t in A)))
-        b_aff = C2.to_affine(jc.limbs_to_g2(tuple(np.asarray(t) for t in B2)))
-        c_aff = C1.to_affine(jc.limbs_to_g1(tuple(np.asarray(t) for t in C)))
+        return self._proof_from_packed(packed, d_aff, dsig_aff)
+
+    @property
+    def _assemble_fused(self):
+        if getattr(self.pk, "_assemble_fused_jit", None) is None:
+            def run(a_msm, b1_msm, b2_msm, l_msm, h_msm, fused):
+                dig3 = fused[:128].reshape(4, 32)
+                bits_ab = fused[128:].reshape(256, 2).astype(jnp.uint32)
+                return self._assemble_core_impl(
+                    a_msm, b1_msm, b2_msm, l_msm, h_msm, dig3, bits_ab
+                )
+
+            self.pk._assemble_fused_jit = jax.jit(run)
+        return self.pk._assemble_fused_jit
+
+    @staticmethod
+    def _proof_from_packed(packed: np.ndarray, d_aff=None, dsig_aff=None) -> Proof:
+        """(12, 16) packed rows [A.xyz | B2.x0 x1 y0 y1 z0 z1 | C.xyz]."""
+        a_aff = ec.G1_CURVE.to_affine(
+            jc.limbs_to_g1((packed[0], packed[1], packed[2]))
+        )
+        b_aff = ec.G2_CURVE.to_affine(
+            jc.limbs_to_g2((packed[3:5], packed[5:7], packed[7:9]))
+        )
+        c_aff = ec.G1_CURVE.to_affine(
+            jc.limbs_to_g1((packed[9], packed[10], packed[11]))
+        )
         return Proof(
             a=(a_aff[0], a_aff[1]),
             b=((b_aff[0].c0, b_aff[0].c1), (b_aff[1].c0, b_aff[1].c1)),
@@ -437,34 +458,33 @@ class Prover:
 
     def prove(self, zbits: np.ndarray, rng_seed: bytes | None = None) -> Proof:
         """Bit-witness fast path (ChaChaV3: every wire is 0/1).
-        zbits: (num_vars,) uint32 full witness (z[0] = 1 included)."""
-        from ..utils.metrics import stage
+        zbits: (num_vars,) uint32 full witness (z[0] = 1 included).
 
+        Stages are dispatched WITHOUT intermediate device syncs (the whole
+        chain resolves at the final packed-proof transfer); per-stage
+        block_until_ready happens only when metrics are enabled, since every
+        sync costs a host round trip (~25 ms over a tunneled chip)."""
+        from ..utils.metrics import enabled as metrics_on, stage
+
+        sync = jax.block_until_ready if metrics_on() else (lambda x: x)
         assert zbits.shape == (self.cs.num_vars,)
         zpad_j = self._pad_bits(zbits)
-        pk = self.pk
         with stage("prove.h_scalars", items=self.n):
-            h_digits = jax.block_until_ready(self._h_scalars(jnp.asarray(zbits)))
+            h_digits = sync(self._h_scalars(jnp.asarray(zbits)))
         with stage("prove.msm_witness", items=4 * self.nv_pad):
             if self.mesh is None:
                 g1x3 = self._msm_bits_g1x3(self._g1_stack, self._g1_stack_inf, zpad_j)
                 a_msm = tuple(t[0] for t in g1x3)
                 b1_msm = tuple(t[1] for t in g1x3)
                 l_msm = tuple(t[2] for t in g1x3)
-                b2_msm = jax.block_until_ready(
-                    self._msm_bits_g2(*self._dev["b_g2_query"], zpad_j)
-                )
+                b2_msm = sync(self._msm_bits_g2(*self._dev["b_g2_query"], zpad_j))
             else:
                 a_msm = self._msm_bits_g1(*self._dev["a_query"], zpad_j)
                 b1_msm = self._msm_bits_g1(*self._dev["b_g1_query"], zpad_j)
                 b2_msm = self._msm_bits_g2(*self._dev["b_g2_query"], zpad_j)
-                l_msm = jax.block_until_ready(
-                    self._msm_bits_g1(*self._dev["l_query"], zpad_j)
-                )
+                l_msm = sync(self._msm_bits_g1(*self._dev["l_query"], zpad_j))
         with stage("prove.msm_h", items=self.n):
-            h_msm = jax.block_until_ready(
-                self._msm_g1(*self._dev["h_query"], h_digits)
-            )
+            h_msm = sync(self._msm_g1(*self._dev["h_query"], h_digits))
         with stage("prove.assemble"):
             return self._assemble(a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed)
 
@@ -519,25 +539,12 @@ class Prover:
             a_msm = tuple(t[:, 0] for t in g1x3)
             b1_msm = tuple(t[:, 1] for t in g1x3)
             l_msm = tuple(t[:, 2] for t in g1x3)
-            A, B2, C = self._batched["assemble"](
-                a_msm, b1_msm, b2, l_msm, h_msm, dig3, bits_ab
-            )
-            A = tuple(np.asarray(t) for t in A)
-            B2 = tuple(np.asarray(t) for t in B2)
-            C = tuple(np.asarray(t) for t in C)
-        out = []
-        for i in range(bsz):
-            a_aff = ec.G1_CURVE.to_affine(jc.limbs_to_g1(tuple(t[i] for t in A)))
-            b_aff = ec.G2_CURVE.to_affine(jc.limbs_to_g2(tuple(t[i] for t in B2)))
-            c_aff = ec.G1_CURVE.to_affine(jc.limbs_to_g1(tuple(t[i] for t in C)))
-            out.append(
-                Proof(
-                    a=(a_aff[0], a_aff[1]),
-                    b=((b_aff[0].c0, b_aff[0].c1), (b_aff[1].c0, b_aff[1].c1)),
-                    c=(c_aff[0], c_aff[1]),
+            packed = np.asarray(
+                self._batched["assemble"](
+                    a_msm, b1_msm, b2, l_msm, h_msm, dig3, bits_ab
                 )
-            )
-        return out
+            )  # (B, 12, 16) — one transfer for the whole batch
+        return [self._proof_from_packed(packed[i]) for i in range(bsz)]
 
     # ---------------------------------------------- general/lookup witness
     def commit(self, z_digits: np.ndarray):

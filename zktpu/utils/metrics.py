@@ -26,6 +26,13 @@ _stats: dict[str, dict] = {}
 _enabled = os.environ.get("ZKTPU_METRICS", "1") != "0"
 
 
+def enabled() -> bool:
+    """Whether per-stage metrics are on.  The prover only inserts
+    device-sync points (block_until_ready) between stages when metrics are
+    enabled — on a tunneled chip each sync costs a host round trip."""
+    return _enabled
+
+
 @contextlib.contextmanager
 def stage(name: str, items: int | None = None):
     """Time a named stage; optional `items` accumulates a throughput count."""
