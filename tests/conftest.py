@@ -23,4 +23,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache location is set package-wide in zktpu/__init__.py
+# persistent compile cache: package-wide setup in zktpu/__init__.py, but the
+# CPU bucket must be selected explicitly (the env hint says "axon" here)
+import zktpu  # noqa: E402
+
+zktpu.use_cpu_cache_bucket()

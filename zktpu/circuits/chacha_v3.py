@@ -245,10 +245,15 @@ def witness_bits(counter, nonce, inp, out, key):
 # --------------------------------------------------------------- cipher (jnp)
 
 
+@jax.jit
 def chacha20_block_words(key, counter, nonce):
     """Plain jnp ChaCha20 block function over uint32 words (the native-cipher
     step of the prover, reference analog provers.go:93-101).  key (B,8),
-    counter (B,), nonce (B,3) -> keystream words (B,16) in LE word order."""
+    counter (B,), nonce (B,3) -> keystream words (B,16) in LE word order.
+
+    Jitted at module level: un-jitted, its ~800 tiny ops dispatch eagerly —
+    ~130-260 ms per op over a tunneled TPU (measured 200-330 s total, which
+    single-handedly blew the round-3 bench budget)."""
 
     def rotl(x, n):
         return (x << n) | (x >> (32 - n))

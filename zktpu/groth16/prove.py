@@ -119,10 +119,16 @@ class Prover:
     the same rng_seed (SURVEY.md §7 Phase 7 oracle, exercised by
     __graft_entry__.dryrun_multichip)."""
 
-    def __init__(self, cs: CompiledR1CS, pk: ProvingKey, mesh=None, axis: str = "x"):
+    def __init__(self, cs: CompiledR1CS, pk: ProvingKey, mesh=None, axis: str = "x",
+                 assemble_on_host: bool = False):
         assert pk.num_vars == cs.num_vars
         self.cs = cs
         self.pk = pk
+        # assemble_on_host: do the final proof randomization with ref_ec
+        # big-int math instead of the jitted device graph — spares the
+        # assemble XLA compile (tests, multichip dryrun); on a real TPU the
+        # device assemble is the default (host EC costs ~330 ms per proof).
+        self.assemble_on_host = assemble_on_host
         self.n = pk.n_domain
         self.domain = Domain(self.n)
         self.nv_pad = pk.a_query.shape[0]
@@ -198,10 +204,11 @@ class Prover:
         # the assemble graph depends only on pk constants — share ONE jitted
         # instance across Provers over the same pk (e.g. the single-chip and
         # mesh Provers in dryrun_multichip), halving its compile cost
-        if getattr(pk, "_assemble_core_jit", None) is None:
-            pk._fb_tables = self._build_fb_tables(pk)
-            pk._assemble_core_jit = jax.jit(self._assemble_core_impl)
-        self._assemble_core = pk._assemble_core_jit
+        if not assemble_on_host:
+            if getattr(pk, "_assemble_core_jit", None) is None:
+                pk._fb_tables = self._build_fb_tables(pk)
+                pk._assemble_core_jit = jax.jit(self._assemble_core_impl)
+            self._assemble_core = pk._assemble_core_jit
 
     # ----------------------------------------------------------- jitted core
     def _matvecs_bits(self, zbits):
@@ -407,8 +414,22 @@ class Prover:
             r = _secrets.randbelow(P_FR)
             s = _secrets.randbelow(P_FR)
         else:
-            r = int.from_bytes(hashlib.sha512(rng_seed + b"r").digest(), "big") % P_FR
-            s = int.from_bytes(hashlib.sha512(rng_seed + b"s").digest(), "big") % P_FR
+            from .ref_prove import derive_rs
+
+            r, s = derive_rs(rng_seed)
+
+        if self.assemble_on_host:
+            from . import ref_prove
+
+            def host(t):
+                return jc.limbs_to_g1(tuple(np.asarray(c) for c in t))
+
+            return ref_prove.assemble(
+                self.pk,
+                host(a_msm), host(b1_msm),
+                jc.limbs_to_g2(tuple(np.asarray(c) for c in b2_msm)),
+                host(l_msm), host(h_msm), r, s, d_aff, dsig_aff,
+            )
 
         # ONE fused upload for the randomizer digits+bits (host->device
         # crossings cost ~130 ms each over the tunnel)
