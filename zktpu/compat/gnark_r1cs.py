@@ -1,34 +1,56 @@
-"""gnark v0.11 r1cs artifact reader — metadata layer.
+"""gnark v0.11 r1cs artifact reader — FULL decode.
 
 The reference loads compiled constraint systems with gnark's own binary
 format (prove_impl.go:102-107).  Reverse-engineered layout of the files in
 /root/reference/circuits/generated/ (r1cs.{chacha20,aes128,aes256}):
 
-    [ 0:32)  u64 LE: bodyLen (= file size - 32), ?, 11, ?
+    [ 0:32)  u64 LE: bodyLen (= file size - 32), 0, 11, 0
     [32:64)  u64 LE x4: byte lengths of the four payload sections
-    [64:..)  section 1  — "levels"        (intcomp-compressed uint32 stream)
-             section 2  — "instructions"  (intcomp-compressed stream)
-             section 3  — "calldata"      (intcomp-compressed uint32 stream)
+    [64:..)  section 1  — "levels"        (u64 count; per level: u64 word
+                          count + intcomp-packed uint32 words)
+             section 2  — "instructions"  (four arrays, each u64 word count
+                          + packed words: BlueprintID/ConstraintOffset/
+                          WireOffset as u32 streams, StartCallData as u64)
+             section 3  — "calldata"      (u64 value count + unsigned-LEB128
+                          varint byte stream — one varint per uint32 value)
              section 4  — CBOR map of the constraint-system metadata
-    [..:EOF) trailing CBOR (coefficient table et al.)
+    [..:EOF) coefficient table: u64 count + count x 32-byte LE Fr elements
+             in Montgomery form (coeff[0..4] = 0, 1, 2, -1, -2)
 
-The CBOR section decodes completely (see read_r1cs_meta) and carries:
-GnarkVersion, ScalarField, NbConstraints, NbInternalVariables, the full
-Public/Secret symbol lists, blueprint registry tags, hint dependencies
-(e.g. "gnark/std/math/bits.nBits"), and CommitmentInfo.
+Everything needed to reconstruct the constraint system lives in the
+CALLDATA stream alone: it is self-delimiting (each instruction's first
+value is its total value count), instructions appear in synthesis order,
+hint instructions are identified by their 32-bit hint ID (from the CBOR
+MHintsDependencies map), and hint output wire ranges are explicit.  The
+intcomp-packed sections 1-2 (solver levels / packed-instruction index) are
+therefore NOT needed for proving and are left undecoded; we re-derive
+solve order by sequential interpretation.
 
-The three compressed sections use a delta+binary-packing scheme (128-value
-blocks, one u32 header of four per-32-value bitlens, horizontal LSB-first
-packing) with escape blocks we have not fully mapped; decoding them — and
-the PackedInstruction/blueprint semantics they encode — is what stands
-between this reader and full prove-with-reference-artifacts interop.  The
-pk/vk/proof formats (zktpu.compat.gnark) are already byte-exact.
+Instruction payload layouts (gnark constraint/blueprint.go semantics,
+empirically pinned against r1cs.chacha20 + the chachaV3 circuit source):
+
+  generic R1C:  [nb, lenL, lenR, lenO, (coeffID, wireID) x (lenL+lenR+lenO)]
+                with nb == 4 + 2*(lenL+lenR+lenO)
+  generic hint: [nb, hintID, nbInputExprs,
+                 per expr: [len, (coeffID, wireID) x len],
+                 outRangeStart, outRangeEnd]
+                where wireID == 0xFFFFFFFF marks a CONSTANT term whose
+                value is coeffs[coeffID].
+
+The witness vector is indexed by wire ID: [0] = 1, [1..nbPublic] = public
+inputs (struct declaration order), then secret, then internal wires.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import struct
+
+import numpy as np
+
+P_FR = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+_R_INV = pow(1 << 256, -1, P_FR)
+CONST_WIRE = 0xFFFFFFFF
 
 
 class GnarkR1CSError(ValueError):
@@ -163,3 +185,242 @@ def read_r1cs_meta(data: bytes) -> GnarkR1CSMeta:
         instructions_len=s2,
         calldata_len=s3,
     )
+
+
+def read_r1cs_cbor(data: bytes) -> dict:
+    """The raw CBOR metadata map (incl. CommitmentInfo payload)."""
+    s1, s2, s3, s4 = struct.unpack("<4Q", data[32:64])
+    meta, _ = _cbor_parse(data, 64 + s1 + s2 + s3)
+    return meta
+
+
+# ----------------------------------------------------------- full decode
+
+
+def _decode_varints(buf: bytes) -> list:
+    """Unsigned LEB128 stream -> list of ints (one per calldata value)."""
+    vals = []
+    p, L = 0, len(buf)
+    while p < L:
+        x = 0
+        sh = 0
+        while True:
+            b = buf[p]
+            p += 1
+            x |= (b & 0x7F) << sh
+            if not (b & 0x80):
+                break
+            sh += 7
+        vals.append(x)
+    return vals
+
+
+@dataclasses.dataclass
+class HintInst:
+    hint_id: int
+    exprs: list  # list of [(coeff_id, wire_id)] — wire CONST_WIRE = constant
+    out_start: int
+    out_end: int
+
+
+@dataclasses.dataclass
+class R1CInst:
+    l: list  # [(coeff_id, wire_id)]
+    r: list
+    o: list
+
+
+@dataclasses.dataclass
+class GnarkR1CS:
+    meta: GnarkR1CSMeta
+    coeffs: list  # canonical Python ints (Montgomery form decoded)
+    instructions: list  # HintInst | R1CInst, synthesis order
+    commitment_info: list  # raw CBOR payload entries (BSB22), [] if none
+
+    @property
+    def nb_public_wires(self) -> int:
+        return len(self.meta.public_names)  # includes the "1" wire
+
+    @property
+    def nb_wires(self) -> int:
+        return self.meta.nb_wires
+
+    @property
+    def constraints(self):
+        return [i for i in self.instructions if isinstance(i, R1CInst)]
+
+
+def read_r1cs(data: bytes) -> GnarkR1CS:
+    """Full gnark r1cs decode: metadata + coefficients + instruction list."""
+    meta = read_r1cs_meta(data)
+    s1, s2, s3, s4 = struct.unpack("<4Q", data[32:64])
+    cal = data[64 + s1 + s2 : 64 + s1 + s2 + s3]
+    ncal = struct.unpack("<Q", cal[:8])[0]
+    vals = _decode_varints(cal[8:])
+    if len(vals) != ncal:
+        raise GnarkR1CSError(f"calldata decoded {len(vals)} values, want {ncal}")
+
+    # trailing coefficient table: u64 count + 32-byte LE Montgomery Fr
+    tr = data[64 + s1 + s2 + s3 + s4 :]
+    nco = struct.unpack("<Q", tr[:8])[0]
+    if len(tr) != 8 + 32 * nco:
+        raise GnarkR1CSError("coefficient table size mismatch")
+    coeffs = [
+        int.from_bytes(tr[8 + 32 * i : 40 + 32 * i], "little") * _R_INV % P_FR
+        for i in range(nco)
+    ]
+
+    meta_cbor = read_r1cs_cbor(data)
+    comm = meta_cbor.get("CommitmentInfo")
+    comm_payload = []
+    if isinstance(comm, tuple) and comm[0] == "tag" and isinstance(comm[2], list):
+        comm_payload = comm[2]
+
+    hint_ids = set(meta.hint_names)
+    insts = []
+    i = 0
+    n = len(vals)
+    while i < n:
+        nb = vals[i]
+        if nb <= 0 or i + nb > n:
+            raise GnarkR1CSError(f"bad instruction length {nb} at calldata[{i}]")
+        u = vals[i : i + nb]
+        ll, lr, lo = (u[1], u[2], u[3]) if nb >= 4 else (0, 0, 0)
+        if nb >= 4 and nb == 4 + 2 * (ll + lr + lo) and u[1] not in hint_ids:
+            terms = [(u[4 + 2 * k], u[5 + 2 * k]) for k in range(ll + lr + lo)]
+            insts.append(
+                R1CInst(l=terms[:ll], r=terms[ll : ll + lr], o=terms[ll + lr :])
+            )
+        elif nb >= 2 and u[1] in hint_ids:
+            ne = u[2]
+            j = 3
+            exprs = []
+            for _ in range(ne):
+                el = u[j]
+                j += 1
+                exprs.append([(u[j + 2 * k], u[j + 2 * k + 1]) for k in range(el)])
+                j += 2 * el
+            if j + 2 != nb:
+                raise GnarkR1CSError(f"hint unit length mismatch at calldata[{i}]")
+            insts.append(
+                HintInst(hint_id=u[1], exprs=exprs, out_start=u[j], out_end=u[j + 1])
+            )
+        else:
+            raise GnarkR1CSError(
+                f"unrecognized instruction unit at calldata[{i}]: {u[:8]}"
+            )
+        i += nb
+    nb_r1c = sum(1 for x in insts if isinstance(x, R1CInst))
+    if nb_r1c != meta.nb_constraints:
+        raise GnarkR1CSError(
+            f"decoded {nb_r1c} R1C constraints, metadata says {meta.nb_constraints}"
+        )
+    return GnarkR1CS(
+        meta=meta, coeffs=coeffs, instructions=insts, commitment_info=comm_payload
+    )
+
+
+# ------------------------------------------------------- witness solving
+
+# gnark std/math/bits hints (MHintsDependencies import paths).
+_HINT_NBITS = "github.com/consensys/gnark/std/math/bits.nBits"
+
+
+def solve_witness(r1cs: GnarkR1CS, public_vals, secret_vals, p: int = P_FR):
+    """Reference witness solver (big-int, sequential) — the oracle path.
+
+    Mirrors gnark's R1CS solver semantics (one unknown wire per R1C, hints
+    executed in instruction order; reference call site provers.go:148 via
+    groth16.Prove -> r1cs.Solve [dep go.mod:8]).  public_vals/secret_vals:
+    ints in wire order (publics WITHOUT the leading 1).  Returns the full
+    witness as a list of ints indexed by wire ID."""
+    meta = r1cs.meta
+    npub = len(meta.public_names)  # includes "1"
+    nsec = len(meta.secret_names)
+    if len(public_vals) != npub - 1 or len(secret_vals) != nsec:
+        raise GnarkR1CSError("assignment length mismatch")
+    w = [None] * r1cs.nb_wires
+    w[0] = 1
+    for k, v in enumerate(public_vals):
+        w[1 + k] = v % p
+    for k, v in enumerate(secret_vals):
+        w[npub + k] = v % p
+    coeffs = r1cs.coeffs
+    hint_names = meta.hint_names
+
+    def ev(terms):
+        """-> (known_sum, unknown_wire, unknown_coeff); at most one unknown."""
+        s = 0
+        uw = uc = None
+        for cid, wid in terms:
+            if wid == CONST_WIRE:
+                s += coeffs[cid]
+            elif w[wid] is None:
+                if uw is not None:
+                    raise GnarkR1CSError("two unknown wires in one expression")
+                uw, uc = wid, coeffs[cid]
+            else:
+                s += coeffs[cid] * w[wid]
+        return s % p, uw, uc
+
+    for idx, inst in enumerate(r1cs.instructions):
+        if isinstance(inst, HintInst):
+            name = hint_names.get(inst.hint_id, "")
+            ins = []
+            for e in inst.exprs:
+                s, uw, _ = ev(e)
+                if uw is not None:
+                    raise GnarkR1CSError(f"hint input with unsolved wire {uw}")
+                ins.append(s)
+            nout = inst.out_end - inst.out_start
+            if name == _HINT_NBITS:
+                v = ins[0]  # nBits: inputs[0] is the value to decompose
+                outs = [(v >> k) & 1 for k in range(nout)]
+            else:
+                raise GnarkR1CSError(f"unimplemented hint {name or inst.hint_id}")
+            for k, v in enumerate(outs):
+                w[inst.out_start + k] = v % p
+        else:
+            ls, luw, luc = ev(inst.l)
+            rs, ruw, ruc = ev(inst.r)
+            os_, ouw, ouc = ev(inst.o)
+            unknowns = sum(x is not None for x in (luw, ruw, ouw))
+            if unknowns == 0:
+                if ls * rs % p != os_:
+                    raise GnarkR1CSError(f"unsatisfied constraint at inst {idx}")
+            elif ouw is not None and unknowns == 1:
+                w[ouw] = (ls * rs - os_) % p * pow(ouc, -1, p) % p
+            elif luw is not None and unknowns == 1:
+                if rs % p == 0:
+                    raise GnarkR1CSError(f"singular solve at inst {idx}")
+                w[luw] = (
+                    (os_ * pow(rs, -1, p) - ls) % p * pow(luc, -1, p) % p
+                )
+            elif ruw is not None and unknowns == 1:
+                if ls % p == 0:
+                    raise GnarkR1CSError(f"singular solve at inst {idx}")
+                w[ruw] = (
+                    (os_ * pow(ls, -1, p) - rs) % p * pow(ruc, -1, p) % p
+                )
+            else:
+                raise GnarkR1CSError(f"{unknowns} unknowns in constraint {idx}")
+    missing = [i for i, v in enumerate(w) if v is None]
+    if missing:
+        raise GnarkR1CSError(f"{len(missing)} unsolved wires, first {missing[:4]}")
+    return w
+
+
+def check_satisfied(r1cs: GnarkR1CS, w, p: int = P_FR) -> bool:
+    """A·w ∘ B·w == C·w for every decoded constraint (oracle for tests)."""
+    coeffs = r1cs.coeffs
+
+    def dot(terms):
+        s = 0
+        for cid, wid in terms:
+            s += coeffs[cid] * (1 if wid == CONST_WIRE else w[wid])
+        return s % p
+
+    for c in r1cs.constraints:
+        if dot(c.l) * dot(c.r) % p != dot(c.o):
+            return False
+    return True

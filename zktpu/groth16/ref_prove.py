@@ -107,8 +107,38 @@ def _pk_consts(pk):
 # -------------------------------------------------------------- polynomial
 
 
+def _ntt_inplace(a: list, omega: int, p: int) -> list:
+    """Iterative radix-2 NTT (natural in, natural out), O(n log n) big-int."""
+    n = len(a)
+    j = 0
+    for i in range(1, n):
+        bit = n >> 1
+        while j & bit:
+            j ^= bit
+            bit >>= 1
+        j |= bit
+        if i < j:
+            a[i], a[j] = a[j], a[i]
+    length = 2
+    while length <= n:
+        wlen = pow(omega, n // length, p)
+        half = length // 2
+        for i in range(0, n, length):
+            w = 1
+            for k in range(i, i + half):
+                u = a[k]
+                v = a[k + half] * w % p
+                a[k] = (u + v) % p
+                a[k + half] = (u - v) % p
+                w = w * wlen % p
+        length <<= 1
+    return a
+
+
 def quotient_coeffs(cs, z_ints, n: int) -> list[int]:
-    """H = (A·B − C) / (xⁿ − 1) over Fr, exact big-int math, O(n²).
+    """H = (A·B − C) / (xⁿ − 1) over Fr, exact big-int math, O(n log n)
+    (iNTT -> coset NTT -> pointwise -> coset iNTT — the same pipeline as the
+    device path, so it scales to the reference's 32768-row domains).
 
     Returns n coefficients (top slot 0, matching the device path's zeroed
     degree-(n−1) scalar)."""
@@ -126,34 +156,31 @@ def quotient_coeffs(cs, z_ints, n: int) -> list[int]:
     omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_TWO_ADICITY - n.bit_length() + 1), P_FR)
     omega_inv = pow(omega, -1, P_FR)
     n_inv = pow(n, -1, P_FR)
+    g = 5  # coset shift (any non-residue; cancels out of the coefficients)
 
-    def idft(evals):
-        # coeffs[j] = n^{-1} * sum_i evals[i] * omega^{-ij}
-        out = []
-        for j in range(n):
-            w = pow(omega_inv, j, P_FR)
-            acc, wk = 0, 1
-            for i in range(n):
-                acc += evals[i] * wk
-                wk = wk * w % P_FR
-            out.append(acc % P_FR * n_inv % P_FR)
-        return out
+    def to_coeffs(evals):
+        a = _ntt_inplace(list(evals), omega_inv, P_FR)
+        return [v * n_inv % P_FR for v in a]
 
-    A, B, C = idft(az), idft(bz), idft(cz)
-    P = [0] * (2 * n - 1)
-    for i in range(n):
-        for j in range(n):
-            P[i + j] = (P[i + j] + A[i] * B[j]) % P_FR
-    for i in range(n):
-        P[i] = (P[i] - C[i]) % P_FR
-    # divide by x^n - 1: x^i = x^{i-n}(x^n - 1) + x^{i-n}
-    H = [0] * n
-    for i in range(2 * n - 2, n - 1, -1):
-        c = P[i]
-        H[i - n] = c
-        P[i - n] = (P[i - n] + c) % P_FR
-        P[i] = 0
-    assert all(v == 0 for v in P[:n]), "A·B − C not divisible by Z_H"
+    def coset_eval(coef):
+        gj, b = 1, []
+        for v in coef:
+            b.append(v * gj % P_FR)
+            gj = gj * g % P_FR
+        return _ntt_inplace(b, omega, P_FR)
+
+    A = coset_eval(to_coeffs(az))
+    B = coset_eval(to_coeffs(bz))
+    C = coset_eval(to_coeffs(cz))
+    zc_inv = pow(pow(g, n, P_FR) - 1, -1, P_FR)
+    hc = [(A[i] * B[i] - C[i]) % P_FR * zc_inv % P_FR for i in range(n)]
+    hcoef = _ntt_inplace(hc, omega_inv, P_FR)
+    ginv = pow(g, -1, P_FR)
+    gj = 1
+    H = []
+    for v in hcoef:
+        H.append(v * n_inv % P_FR * gj % P_FR)
+        gj = gj * ginv % P_FR
     assert H[n - 1] == 0, "quotient degree must be ≤ n−2"
     return H
 
@@ -187,34 +214,61 @@ def assemble(pk, a_msm, b1_msm, b2_msm, l_msm, h_msm, r: int, s: int,
     )
 
 
+def _msm_host(curve, pts, scalars):
+    """Host MSM: direct add for 0/±1 scalars (bit/ternary witnesses),
+    8-bit-window Pippenger when enough general scalars make it pay."""
+    big = [(p, k) for p, k in zip(pts, scalars) if k not in (0, 1, P_FR - 1)]
+    acc = curve.infinity()
+    for p, k in zip(pts, scalars):
+        if k == 1:
+            acc = curve.add(acc, p)
+        elif k == P_FR - 1:
+            acc = curve.add(acc, curve.neg(p))
+    if len(big) <= 64:
+        for p, k in big:
+            acc = curve.add(acc, curve.mul(p, k))
+        return acc
+    res = curve.infinity()
+    for wnd in range(31, -1, -1):
+        for _ in range(8):
+            res = curve.double(res)
+        sh = 8 * wnd
+        buckets = {}
+        for p, k in big:
+            d = (k >> sh) & 0xFF
+            if d == 0 or curve._is_inf(p):
+                continue
+            buckets[d] = curve.add(buckets[d], p) if d in buckets else p
+        run = curve.infinity()
+        tot = curve.infinity()
+        for d in range(255, 0, -1):
+            if d in buckets:
+                run = curve.add(run, buckets[d])
+            tot = curve.add(tot, run)
+        res = curve.add(res, tot)
+    return curve.add(acc, res)
+
+
 def prove_reference(cs, pk, z_ints, rng_seed: bytes):
-    """Complete host-side Groth16 proof (tiny circuits only — O(n²+N·nv)).
+    """Complete host-side Groth16 proof — big-int oracle.  O(n log n)
+    quotient + Pippenger MSMs make it usable at the reference's full
+    ChaCha scale (n = 32768) in ~a minute; bit/ternary witness entries
+    cost one point add each.
 
     Byte-identical to Prover.prove(z, rng_seed) for the same inputs."""
     r, s = derive_rs(rng_seed)
     n = pk.n_domain
     z = [int(v) for v in z_ints]
 
-    def msm_g1(query, inf, scalars):
-        pts = g1_query_points(query, inf)
-        acc = ec.G1_CURVE.infinity()
-        for p, k in zip(pts, scalars):
-            if k == 0:
-                continue
-            acc = ec.G1_CURVE.add(acc, p if k == 1 else ec.G1_CURVE.mul(p, k))
-        return acc
-
     zp = z + [0] * (pk.a_query.shape[0] - len(z))
-    a_msm = msm_g1(pk.a_query, pk.a_inf, zp)
-    b1_msm = msm_g1(pk.b_g1_query, pk.b_g1_inf, zp)
-    l_msm = msm_g1(pk.l_query, pk.l_inf, zp)
-    pts2 = g2_query_points(pk.b_g2_query, pk.b_g2_inf)
-    b2_msm = ec.G2_CURVE.infinity()
-    for p, k in zip(pts2, zp):
-        if k:
-            b2_msm = ec.G2_CURVE.add(
-                b2_msm, p if k == 1 else ec.G2_CURVE.mul(p, k)
-            )
+    a_msm = _msm_host(ec.G1_CURVE, g1_query_points(pk.a_query, pk.a_inf), zp)
+    b1_msm = _msm_host(
+        ec.G1_CURVE, g1_query_points(pk.b_g1_query, pk.b_g1_inf), zp
+    )
+    l_msm = _msm_host(ec.G1_CURVE, g1_query_points(pk.l_query, pk.l_inf), zp)
+    b2_msm = _msm_host(
+        ec.G2_CURVE, g2_query_points(pk.b_g2_query, pk.b_g2_inf), zp
+    )
     h = quotient_coeffs(cs, z, n)
-    h_msm = msm_g1(pk.h_query, pk.h_inf, h)
+    h_msm = _msm_host(ec.G1_CURVE, g1_query_points(pk.h_query, pk.h_inf), h)
     return assemble(pk, a_msm, b1_msm, b2_msm, l_msm, h_msm, r, s)
