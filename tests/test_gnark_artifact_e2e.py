@@ -117,6 +117,56 @@ def test_decode_rejects_tampered_witness():
 
 @needs_ref
 @pytest.mark.slow
+def test_service_accepts_reference_artifacts():
+    """Drop-in contract: init_algorithm fed the reference's own gnark
+    pk/r1cs bytes (prove_impl.go:86-107), Prove returns gnark proof bytes
+    in proofJson (provers.go:152-157), Verify checks them against the
+    reference's own binary vk.chacha20 loaded from disk."""
+    import base64
+    import json
+
+    os.environ["ZKTPU_HOST_ASSEMBLE"] = "1"
+    from zktpu.api import service
+    from zktpu.compat.gnark import proof_from_gnark_bytes
+
+    service._PROVERS.pop("chacha20", None)
+    assert service.init_algorithm(
+        0, open(PK_PATH, "rb").read(), open(R1CS_PATH, "rb").read()
+    )
+    assert isinstance(
+        service._PROVERS["chacha20"], service.GnarkChaChaProverService
+    )
+    service.load_verifiers_from_dir(os.path.dirname(VK_PATH))
+
+    key, nonce, counter, pt, ct = _vector(seed=5150)
+    req = {
+        "cipher": "chacha20",
+        "key": base64.b64encode(key).decode(),
+        "nonce": base64.b64encode(nonce).decode(),
+        "counter": counter,
+        "input": base64.b64encode(pt).decode(),
+    }
+    out = json.loads(service.prove(json.dumps(req).encode()))
+    got_ct = base64.b64decode(out["publicSignals"])
+    assert got_ct == ct, "native-cipher ciphertext must match the oracle"
+    proof_raw = base64.b64decode(out["proof"]["proofJson"])
+    proof_from_gnark_bytes(proof_raw)  # must parse as a gnark proof
+
+    sig = ct + nonce + struct.pack("<I", counter) + pt
+    vreq = {
+        "cipher": "chacha20",
+        "proof": base64.b64encode(proof_raw).decode(),
+        "publicSignals": base64.b64encode(sig).decode(),
+    }
+    assert service.verify(json.dumps(vreq).encode()) is True
+    bad = bytearray(sig)
+    bad[0] ^= 1
+    vbad = dict(vreq, publicSignals=base64.b64encode(bytes(bad)).decode())
+    assert service.verify(json.dumps(vbad).encode()) is False
+
+
+@needs_ref
+@pytest.mark.slow
 def test_prove_from_reference_artifacts_verifies_under_reference_vk():
     """THE Phase 5 acceptance: TPU-framework proof from the reference's own
     pk.chacha20/r1cs.chacha20 verifies under the checked-in vk.chacha20,

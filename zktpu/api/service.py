@@ -27,12 +27,17 @@ from __future__ import annotations
 import base64
 import json
 import struct
+import threading
 
 import numpy as np
 
 ALGORITHM_NAMES = {0: "chacha20", 1: "aes-128-ctr", 2: "aes-256-ctr"}
 
 _PROVERS: dict[str, "ChaChaProverService"] = {}
+# Registry mutation guard (the reference's InitAlgorithm mutates its registry
+# unsynchronized, prove_impl.go:109-110, and its concurrent TestProveVerify is
+# skipped; we make double-init from racing threads safe instead).
+_REGISTRY_LOCK = threading.RLock()
 
 
 def _decode_bytes(v) -> bytes:
@@ -123,7 +128,7 @@ class AESProverService:
 
         self.cipher = cipher
         self.cs = cs
-        self.prover = Prover(cs, pk)
+        self.prover = Prover(cs, pk, assemble_on_host=_host_assemble())
 
     def prove(self, key: bytes, nonce: bytes, counter: int, inp: bytes):
         import jax
@@ -212,40 +217,125 @@ def proof_from_bytes_committed(data: bytes):
     )
 
 
+def _host_assemble() -> bool:
+    """ZKTPU_HOST_ASSEMBLE=1: do proof randomization with host big-int EC
+    instead of the jitted device graph (tests / CPU runs skip that graph's
+    XLA compile; on a real TPU the device assemble stays the default)."""
+    import os
+
+    return os.environ.get("ZKTPU_HOST_ASSEMBLE", "") == "1"
+
+
+def _chacha_lengths(key: bytes, nonce: bytes, inp: bytes) -> None:
+    if len(key) != 32:
+        raise ValueError("key length must be 32")
+    if len(nonce) != 12:
+        raise ValueError("nonce length must be 12")
+    if len(inp) != 64:
+        raise ValueError("input length must be 64")
+
+
+def _native_chacha_ct(key: bytes, nonce: bytes, counter: int, inp: bytes) -> bytes:
+    """The native-cipher step (provers.go:93-101) via the jitted jnp block."""
+    from ..circuits import chacha_v3 as cc
+
+    kw = cc.bytes_to_words_le(key)[None]
+    nw = cc.bytes_to_words_le(nonce)[None]
+    ctr = np.array([counter], dtype=np.uint32)
+    ks = np.asarray(cc.chacha20_block_words(kw, ctr, nw))[0]
+    return bytes(a ^ b for a, b in zip(inp, cc.words_to_bytes_le(ks)))
+
+
 class ChaChaProverService:
-    """Reference analog: ChaChaProver (provers.go:65-170)."""
+    """Reference analog: ChaChaProver (provers.go:65-170).  Emits gnark
+    proof.WriteTo bytes in proofJson (provers.go:152-157) — reference
+    clients parse the proof field with gnark's own reader."""
 
     def __init__(self, cs, pk):
         from ..groth16.prove import Prover
 
         self.cs = cs
-        self.prover = Prover(cs, pk)
+        self.prover = Prover(cs, pk, assemble_on_host=_host_assemble())
 
     def prove(self, key: bytes, nonce: bytes, counter: int, inp: bytes):
         from ..circuits import chacha_v3 as cc
+        from ..compat.gnark import proof_to_gnark_bytes
 
-        if len(key) != 32:
-            raise ValueError("key length must be 32")
-        if len(nonce) != 12:
-            raise ValueError("nonce length must be 12")
-        if len(inp) != 64:
-            raise ValueError("input length must be 64")
+        _chacha_lengths(key, nonce, inp)
+        ct = _native_chacha_ct(key, nonce, counter, inp)
         kw = cc.bytes_to_words_le(key)[None]
         nw = cc.bytes_to_words_le(nonce)[None]
         ctr = np.array([counter], dtype=np.uint32)
-        ks = np.asarray(cc.chacha20_block_words(kw, ctr, nw))[0]
-        ct = bytes(a ^ b for a, b in zip(inp, cc.words_to_bytes_le(ks)))
         # keep the witness ON DEVICE: a host round trip costs ~130 ms on a
         # tunneled chip, and the prover consumes device arrays directly
         z = cc.witness_bits(
             ctr, nw, cc.bytes_to_words_be(inp)[None], cc.bytes_to_words_be(ct)[None], kw
         )[0]
         proof = self.prover.prove(z)
-        return proof_to_bytes(proof), ct
+        return proof_to_gnark_bytes(proof), ct
+
+
+class GnarkChaChaProverService:
+    """ChaCha prover over the REFERENCE'S OWN artifacts: init_algorithm fed
+    gnark pk/r1cs bytes (the reference client contract, prove_impl.go:86-107)
+    routes here.  Witness solved in gnark wire order from the decoded
+    instruction stream; proofs verify under the reference's embedded
+    vk.chacha20 and ship as gnark proof bytes."""
+
+    def __init__(self, gnark_r1cs, cs, pk):
+        from ..groth16.prove import Prover
+
+        self.r1 = gnark_r1cs
+        self.cs = cs
+        self.prover = Prover(cs, pk, assemble_on_host=_host_assemble())
+
+    def prove(self, key: bytes, nonce: bytes, counter: int, inp: bytes):
+        from ..compat.bridge import witness_ternary
+        from ..compat.gnark import proof_to_gnark_bytes
+        from ..compat.gnark_r1cs import solve_witness
+
+        _chacha_lengths(key, nonce, inp)
+        ct = _native_chacha_ct(key, nonce, counter, inp)
+        pub = chacha_public_bits(counter, nonce, pt=inp, ct=ct)
+        kw = struct.unpack("<8I", key)
+        keybits = [(w >> i) & 1 for w in kw for i in range(32)]
+        zt = witness_ternary(solve_witness(self.r1, pub, keybits))
+        proof = self.prover.prove_tern(zt)
+        return proof_to_gnark_bytes(proof), ct
+
+
+_NPZ_MAGIC = b"PK\x03\x04"  # our artifacts are (zip-container) npz files
+
+
+def _init_gnark(name: str, pk_bytes: bytes, r1cs_bytes: bytes):
+    """Build a prover service from gnark-format artifacts (the reference
+    client contract: InitAlgorithm receives the files keygen.go wrote)."""
+    from ..compat.bridge import compiled_from_gnark, proving_key_from_gnark
+    from ..compat.gnark import read_pk
+    from ..compat.gnark_r1cs import read_r1cs
+
+    if name != "chacha20":
+        raise NotImplementedError(
+            "gnark-artifact init supports chacha20; AES BSB22 interop is staged"
+        )
+    r1 = read_r1cs(r1cs_bytes)
+    gpk = read_pk(pk_bytes)
+    if gpk.nb_wires != r1.nb_wires:
+        raise ValueError(
+            f"pk/r1cs mismatch: pk covers {gpk.nb_wires} wires, "
+            f"r1cs declares {r1.nb_wires}"
+        )
+    cs = compiled_from_gnark(r1)
+    pk = proving_key_from_gnark(gpk, cs.num_instance)
+    return GnarkChaChaProverService(r1, cs, pk)
 
 
 def init_algorithm(algorithm_id: int, pk_bytes: bytes, r1cs_bytes: bytes) -> bool:
-    """Reference analog: impl.InitAlgorithm (prove_impl.go:65-114)."""
+    """Reference analog: impl.InitAlgorithm (prove_impl.go:65-114).
+
+    Accepts BOTH artifact families: our npz pk + COO r1cs, and the
+    reference's own gnark pk/r1cs bytes (sniffed by the npz zip magic).
+    Idempotent and thread-safe (double-checked under _REGISTRY_LOCK)."""
     import io
 
     try:
@@ -254,26 +344,32 @@ def init_algorithm(algorithm_id: int, pk_bytes: bytes, r1cs_bytes: bytes) -> boo
             return False
         if name in _PROVERS:
             return True
-        from ..groth16.setup import ProvingKey
-        from ..r1cs import serialize as r1cs_ser
+        with _REGISTRY_LOCK:
+            if name in _PROVERS:
+                return True
+            if not r1cs_bytes.startswith(_NPZ_MAGIC):
+                _PROVERS[name] = _init_gnark(name, pk_bytes, r1cs_bytes)
+                return True
+            from ..groth16.setup import ProvingKey
+            from ..r1cs import serialize as r1cs_ser
 
-        cs = r1cs_ser.loads(r1cs_bytes)
-        pk = ProvingKey.load(io.BytesIO(pk_bytes))
-        if pk.r1cs_sha256 is not None:
-            # pk<->r1cs binding (the reference's dormant hash registry,
-            # prove_impl.go:27-43, enforced): a mismatched pair would produce
-            # unverifiable proofs with zero diagnostics
-            import hashlib
+            cs = r1cs_ser.loads(r1cs_bytes)
+            pk = ProvingKey.load(io.BytesIO(pk_bytes))
+            if pk.r1cs_sha256 is not None:
+                # pk<->r1cs binding (the reference's dormant hash registry,
+                # prove_impl.go:27-43, enforced): a mismatched pair would
+                # produce unverifiable proofs with zero diagnostics
+                import hashlib
 
-            got = hashlib.sha256(r1cs_bytes).digest()
-            if got != bytes(bytearray(pk.r1cs_sha256)):
-                print(f"init_algorithm: pk/r1cs hash mismatch for {name}")
-                return False
-        if name == "chacha20":
-            _PROVERS[name] = ChaChaProverService(cs, pk)
-        else:
-            _PROVERS[name] = AESProverService(name, cs, pk)
-        return True
+                got = hashlib.sha256(r1cs_bytes).digest()
+                if got != bytes(bytearray(pk.r1cs_sha256)):
+                    print(f"init_algorithm: pk/r1cs hash mismatch for {name}")
+                    return False
+            if name == "chacha20":
+                _PROVERS[name] = ChaChaProverService(cs, pk)
+            else:
+                _PROVERS[name] = AESProverService(name, cs, pk)
+            return True
     except Exception as e:  # panic -> false at the boundary (prove_impl.go:66-71)
         print(e)
         return False
@@ -304,12 +400,15 @@ def prove(params_json: bytes) -> bytes:
 
 
 class ChaChaVerifierService:
-    """Reference analog: ChachaVerifier (verifiers.go:42-108)."""
+    """Reference analog: ChachaVerifier (verifiers.go:42-108).  The proof
+    field is gnark proof.WriteTo bytes (verifiers.go:93-94); the legacy
+    ZKT1 encoding is still accepted for old clients."""
 
     def __init__(self, vk):
         self.vk = vk
 
     def verify(self, proof_bytes: bytes, public_signals: bytes) -> bool:
+        from ..compat.gnark import GnarkDecodeError, proof_from_gnark_bytes
         from ..groth16.verify import verify as g16_verify
 
         if len(public_signals) != 144:
@@ -319,8 +418,11 @@ class ChaChaVerifierService:
         counter = struct.unpack("<I", public_signals[76:80])[0]  # LE (core_test.go:161)
         pt = public_signals[80:144]
         try:
-            proof = proof_from_bytes(proof_bytes)
-        except ValueError:
+            if proof_bytes[:4] == _PROOF_MAGIC:
+                proof = proof_from_bytes(proof_bytes)
+            else:
+                proof = proof_from_gnark_bytes(proof_bytes)
+        except (ValueError, GnarkDecodeError, IndexError):
             return False
         pub = chacha_public_bits(counter, nonce, pt, ct)
         return g16_verify(proof, self.vk, pub)
@@ -365,6 +467,9 @@ def register_verifier(cipher: str, vk) -> None:
 
 
 def load_verifiers_from_dir(path: str) -> None:
+    """Loads vk.{chacha20,aes128,aes256} — either our JSON vks or the
+    reference's own gnark binary vks (verify_impl.go:24-31 embeds the same
+    files; sniffed by the leading '{')."""
     import json as _json
     import os
 
@@ -373,9 +478,17 @@ def load_verifiers_from_dir(path: str) -> None:
     mapping = {"chacha20": "vk.chacha20", "aes-128-ctr": "vk.aes128", "aes-256-ctr": "vk.aes256"}
     for cipher, fname in mapping.items():
         fp = os.path.join(path, fname)
-        if os.path.exists(fp):
-            with open(fp) as f:
-                register_verifier(cipher, VerifyingKey.from_json_dict(_json.load(f)))
+        if not os.path.exists(fp):
+            continue
+        raw = open(fp, "rb").read()
+        if raw[:1] == b"{":
+            register_verifier(cipher, VerifyingKey.from_json_dict(_json.loads(raw)))
+        elif cipher == "chacha20":
+            from ..compat.bridge import verifying_key_from_gnark
+            from ..compat.gnark import read_vk
+
+            register_verifier(cipher, verifying_key_from_gnark(read_vk(raw)))
+        # gnark AES vks need the BSB22 challenge conversion (staged)
 
 
 def verify(params_json: bytes) -> bool:

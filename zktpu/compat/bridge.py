@@ -176,6 +176,24 @@ def proving_key_from_gnark(
     )
 
 
+def witness_ternary(z_ints) -> np.ndarray:
+    """Solved gnark witness (ints in {0, 1, p-1}) -> (nv,) uint32 ternary
+    code {0, 1, 2} for Prover.prove_tern."""
+    from ..field.params import P_FR
+
+    zt = np.empty(len(z_ints), dtype=np.uint32)
+    for i, v in enumerate(z_ints):
+        if v == 0:
+            zt[i] = 0
+        elif v == 1:
+            zt[i] = 1
+        elif v == P_FR - 1:
+            zt[i] = 2
+        else:
+            raise ValueError(f"wire {i} is not ternary: {v}")
+    return zt
+
+
 def verifying_key_from_gnark(gvk: GnarkVerifyingKey) -> VerifyingKey:
     """GnarkVerifyingKey -> our pairing-side VerifyingKey (pure-R1CS form;
     the BSB22 commitment extension is converted separately for AES)."""

@@ -224,6 +224,26 @@ class Prover:
         m = F.mont_reduce(wide)  # one REDC per row
         return m[: self.n], m[self.n : 2 * self.n], m[2 * self.n :]
 
+    def _matvecs_tern(self, zt):
+        """Ternary-witness matvecs: zt (nv,) uint32 in {0,1,2} ({0,+1,-1}).
+        gnark r1cs witnesses are ternary (Xor intermediates a*(1-2b), see
+        compat.gnark_r1cs); a -1 entry selects the NEGATED pre-scaled
+        coefficient, so the cost stays one select + segment_sum."""
+        rows, cols, coeffs = self._mat_fused
+        negc = self._mat_fused_neg
+        sel = jnp.take(zt, cols)  # (nnz,)
+        vals = jnp.where(
+            (sel == 1)[:, None],
+            coeffs,
+            jnp.where((sel == 2)[:, None], negc, jnp.uint32(0)),
+        )
+        acc = jax.ops.segment_sum(vals, rows, num_segments=3 * self.n)
+        wide = jnp.concatenate(
+            [acc, jnp.zeros((3 * self.n, NLIMBS), jnp.uint32)], axis=-1
+        )
+        m = F.mont_reduce(wide)
+        return m[: self.n], m[self.n : 2 * self.n], m[2 * self.n :]
+
     def _matvecs_general(self, z_mont):
         """Fused A/B/C matvecs for a general field witness (nv, 16) mont."""
         rows, cols, coeffs = self._mat_fused
@@ -566,6 +586,56 @@ class Prover:
                 )
             )  # (B, 12, 16) — one transfer for the whole batch
         return [self._proof_from_packed(packed[i]) for i in range(bsz)]
+
+    # ------------------------------------------------- ternary witness path
+    def _ensure_tern(self):
+        """Lazily build the ternary-witness graphs (gnark-artifact circuits;
+        our own chacha stays on the cheaper pure-bit path)."""
+        if hasattr(self, "_tern"):
+            return
+        self._mat_fused_neg = jnp.asarray(
+            _coeffs_r2([P_FR - c for c in self._tern_coeffs_src()])
+        )
+        self._tern = {
+            "h": jax.jit(lambda zt: self._quotient(*self._matvecs_tern(zt))),
+            "g1x3": jax.jit(
+                jax.vmap(
+                    functools.partial(pp.msm_tern, ops=jc.G1), in_axes=(0, 0, None)
+                )
+            ),
+            "g2": jax.jit(functools.partial(pp.msm_tern, ops=jc.G2)),
+        }
+
+    def _tern_coeffs_src(self):
+        cs = self.cs
+        return list(cs.a_coeffs) + list(cs.b_coeffs) + list(cs.c_coeffs)
+
+    def prove_tern(self, zt: np.ndarray, rng_seed: bytes | None = None) -> Proof:
+        """Ternary-witness fast path: zt (num_vars,) uint32 in {0,1,2}
+        encoding {0,+1,-1}.  Same stage structure and per-stage cost as
+        prove() — the sign only flips y coordinates inside the MSM fold."""
+        from ..utils.metrics import enabled as metrics_on, stage
+
+        assert self.mesh is None, "ternary path is single-chip for now"
+        self._ensure_tern()
+        sync = jax.block_until_ready if metrics_on() else (lambda x: x)
+        assert zt.shape == (self.cs.num_vars,)
+        if not hasattr(self, "_pad_jit"):
+            self._pad_bits(np.zeros(self.cs.num_vars, np.uint32))
+        zt_j = jnp.asarray(zt)
+        ztp = self._pad_jit(zt_j)
+        with stage("prove.h_scalars", items=self.n):
+            h_digits = sync(self._tern["h"](zt_j))
+        with stage("prove.msm_witness", items=4 * self.nv_pad):
+            g1x3 = self._tern["g1x3"](self._g1_stack, self._g1_stack_inf, ztp)
+            a_msm = tuple(t[0] for t in g1x3)
+            b1_msm = tuple(t[1] for t in g1x3)
+            l_msm = tuple(t[2] for t in g1x3)
+            b2_msm = sync(self._tern["g2"](*self._dev["b_g2_query"], ztp))
+        with stage("prove.msm_h", items=self.n):
+            h_msm = sync(self._msm_g1(*self._dev["h_query"], h_digits))
+        with stage("prove.assemble"):
+            return self._assemble(a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed)
 
     # ---------------------------------------------- general/lookup witness
     def commit(self, z_digits: np.ndarray):

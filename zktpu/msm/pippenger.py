@@ -509,6 +509,24 @@ def msm_bits(points, inf_mask, bits, ops=jc.G1):
     return X[0], Y[0], Z[0]
 
 
+def msm_tern(points, inf_mask, zt, ops=jc.G1):
+    """Signed-bit MSM for TERNARY witnesses: zt (N,) uint32 in {0,1,2}
+    encoding scalars {0, +1, -1}.
+
+    gnark's r1cs Xor emits intermediate wires a*(1-2b) in {-1,0,1}
+    ([dep] go.mod:8; decoded from the reference r1cs by compat.gnark_r1cs),
+    so witnesses solved from reference artifacts are ternary, not binary.
+    A -1 scalar just negates the point's y coordinate (field neg maps the
+    infinity slot's 0 to 0), so this costs ONE fused select pass over the
+    query plus the ordinary msm_bits fold — not a second MSM."""
+    y = points[:, 1]
+    cdims = (1,) * (y.ndim - 1)
+    neg = (zt == 2).reshape((-1,) + cdims)
+    y2 = jnp.where(neg, ops.neg(y), y)
+    pts = jnp.stack([points[:, 0], y2], axis=1)
+    return msm_bits(pts, inf_mask, (zt != 0).astype(jnp.uint32), ops=ops)
+
+
 # ----------------------------------------------------------- host reference
 
 
