@@ -40,11 +40,14 @@ import time
 # the per-stage warmups below measure stage costs explicitly
 os.environ.setdefault("ZKTPU_METRICS", "0")
 
-GNARK_16CORE_PROVE_MS_ESTIMATE = 200.0
+GNARK_16CORE_PROVE_MS_ESTIMATE = 200.0  # ESTIMATE, not measured: see BASELINE.md
+# (no Go toolchain in this image, zero egress, and the host has 4 cores, so
+# the reference harness cannot run here; the estimate's derivation from the
+# reference's shipped production pprof profile is documented in BASELINE.md)
 
 T0 = time.time()
 BEST = {"metric": "chacha20_bench_incomplete", "value": -1.0, "unit": "ms",
-        "vs_baseline": 0.0}
+        "vs_baseline": 0.0, "vs_baseline_source": "estimate(BASELINE.md)"}
 _EMIT_LOCK = threading.Lock()
 _DONE = False
 
@@ -64,12 +67,18 @@ def emit_and_exit(rc=0, hard=False):
     sys.exit(rc)
 
 
-def record(metric, ms):
+def record(metric, ms, full_prove=False):
     """Record a stage latency as the fallback metric (later stages override
-    earlier ones; the full prove is recorded last and wins)."""
+    earlier ones; the full prove is recorded last and wins).
+
+    vs_baseline is only meaningful against the gnark full-prove estimate, so
+    stage fallbacks carry 0.0 (ADVICE r3: a 42 ms witness stage is not
+    '4.7x faster than baseline')."""
     BEST["metric"] = metric
     BEST["value"] = round(ms, 3)
-    BEST["vs_baseline"] = round(GNARK_16CORE_PROVE_MS_ESTIMATE / ms, 3) if ms > 0 else 0.0
+    BEST["vs_baseline"] = (
+        round(GNARK_16CORE_PROVE_MS_ESTIMATE / ms, 3) if full_prove and ms > 0 else 0.0
+    )
     log(f"stage metric {metric} = {ms:.2f} ms")
 
 
@@ -221,7 +230,7 @@ def main():
     for i in range(runs):
         prover.prove(z, rng_seed=b"bench-host%d" % i)
     host_ms = (time.time() - t0) / runs * 1000.0
-    record("chacha20_prove_ms", host_ms)
+    record("chacha20_prove_ms", host_ms, full_prove=True)
     log(f"prove latency (host assemble): {host_ms:.1f} ms/proof over {runs} runs")
 
     # --- device assembly (the production TPU path: one packed transfer)
@@ -235,9 +244,11 @@ def main():
     per_proof_ms = (time.time() - t0) / runs * 1000.0
     log(f"prove latency: {per_proof_ms:.1f} ms/proof over {runs} runs")
     if per_proof_ms < host_ms:
-        record("chacha20_prove_ms", per_proof_ms)
+        record("chacha20_prove_ms", per_proof_ms, full_prove=True)
 
-    # batched throughput (DP axis): 8 proofs per dispatch chain
+    # batched throughput (DP axis): 8 proofs per dispatch chain.  Reported
+    # under its OWN name as a side field — chacha20_prove_ms stays strictly
+    # the single-proof latency (ADVICE r3 medium).
     try:
         bsz = int(os.environ.get("BENCH_BATCH", "8"))
         zb = np.stack([np.asarray(z)] * bsz)
@@ -248,14 +259,12 @@ def main():
         t0 = time.time()
         prover.prove_batch(zb, seeds)
         batch_s = time.time() - t0
+        amort = batch_s / bsz * 1000.0
         log(
             f"batch{bsz} prove: {batch_s*1000:.1f} ms total = "
-            f"{bsz/batch_s:.2f} proofs/s ({batch_s/bsz*1000:.1f} ms/proof)"
+            f"{bsz/batch_s:.2f} proofs/s ({amort:.1f} ms/proof)"
         )
-        if batch_s / bsz * 1000.0 < BEST["value"]:
-            record("chacha20_prove_ms_batch%d_amortized" % bsz,
-                   batch_s / bsz * 1000.0)
-            BEST["metric"] = "chacha20_prove_ms"  # same quantity, amortized
+        BEST["chacha20_prove_ms_batch%d_amortized" % bsz] = round(amort, 3)
     except Exception as e:  # noqa: BLE001 — throughput stage is best-effort
         log("batch prove failed:", repr(e))
 

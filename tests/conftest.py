@@ -23,8 +23,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: package-wide setup in zktpu/__init__.py, but the
-# CPU bucket must be selected explicitly (the env hint says "axon" here)
+# persistent compile cache: disabled on CPU (XLA:CPU AOT entries never
+# reload — see zktpu.disable_compile_cache_for_cpu)
 import zktpu  # noqa: E402
 
-zktpu.use_cpu_cache_bucket()
+zktpu.disable_compile_cache_for_cpu()

@@ -16,7 +16,7 @@ def _cache_dir() -> str:
     )
 
 
-def use_cpu_cache_bucket() -> None:
+def disable_compile_cache_for_cpu() -> None:
     """Disable the persistent compile cache for CPU-platform processes.
 
     Call this right after forcing the CPU platform (conftest.py,
@@ -34,6 +34,10 @@ def use_cpu_cache_bucket() -> None:
     _os.environ["JAX_PLATFORMS"] = "cpu"
     _jax.config.update("jax_compilation_cache_dir", None)
 
+
+# back-compat alias (renamed per ADVICE r3: the old name implied a per-host
+# cache bucket was selected; the function actually disables the cache)
+use_cpu_cache_bucket = disable_compile_cache_for_cpu
 
 _jax.config.update("jax_compilation_cache_dir", _cache_dir())
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -537,6 +537,14 @@ class Prover:
 
         bsz, nv = zbits_batch.shape
         assert nv == self.cs.num_vars and len(rng_seeds) == bsz
+        assert self.mesh is None, (
+            "prove_batch is the single-chip DP path (uses _g1_stack); "
+            "on a mesh, run one prove per chip instead"
+        )
+        if getattr(self.pk, "_fb_tables", None) is None:
+            # a Prover built with assemble_on_host=True never built the
+            # fixed-base tables the batched assemble graph reads (ADVICE r3)
+            self.pk._fb_tables = self._build_fb_tables(self.pk)
         if not hasattr(self, "_batched"):
             self._batched = {
                 "h": jax.jit(jax.vmap(self._h_scalars_impl)),
