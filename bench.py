@@ -40,10 +40,12 @@ import time
 # the per-stage warmups below measure stage costs explicitly
 os.environ.setdefault("ZKTPU_METRICS", "0")
 
-GNARK_16CORE_PROVE_MS_ESTIMATE = 200.0  # ESTIMATE, not measured: see BASELINE.md
-# (no Go toolchain in this image, zero egress, and the host has 4 cores, so
-# the reference harness cannot run here; the estimate's derivation from the
-# reference's shipped production pprof profile is documented in BASELINE.md)
+GNARK_16CORE_PROVE_MS_ESTIMATE = 60.0  # ESTIMATE, not measured: see BASELINE.md
+# (no Go toolchain in this image, zero egress, and the host has 4 cores, so the
+# reference harness cannot run here; this figure is DERIVED from the reference's
+# own shipped production pprof profile, libraries/prover/default.pgo — model and
+# provenance in BASELINE.md "Derived estimate".  Round 1-3 used an undocumented
+# 200 ms figure that the pgo model shows was ~3x too generous to us.)
 
 T0 = time.time()
 BEST = {"metric": "chacha20_bench_incomplete", "value": -1.0, "unit": "ms",
