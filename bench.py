@@ -22,11 +22,12 @@ round 3's first attempt):
     compile) is measured before the device-assemble path is even warmed —
     a real chacha20_prove_ms exists early in the run.
 
-Baseline note (BASELINE.md): the reference publishes no numbers and Go is
-not installed in this image, so the comparison constant below is the
-documented ESTIMATE of gnark's ChaChaV3 prove on a 16-core CPU (~200 ms per
-64-byte proof; reference harness /root/reference/libraries/core_test.go:282-290).
-vs_baseline > 1 means faster than the estimate.
+Baseline note (BASELINE.md "Derived estimate"): the reference publishes no
+numbers and Go is not installed in this image; the comparison constant below
+is derived from the reference's own shipped production pprof profile
+(libraries/prover/default.pgo) — gnark ChaChaV3 prove ≈ 45-80 ms on a
+16-core CPU, adopted midpoint 60 ms.  vs_baseline > 1 means faster than the
+estimate; the emitted JSON labels its source.
 """
 
 import json

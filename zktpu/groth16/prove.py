@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import hashlib
 import secrets as _secrets
 
@@ -171,6 +172,18 @@ class Prover:
 
         self._h_scalars = jax.jit(self._h_scalars_impl)
         self._h_scalars_general = jax.jit(self._h_scalars_general_impl)
+        # H-query MSM: the points are fixed per pk, so the 16-bit-window
+        # shifted-copy path (FixedBaseMSM) halves the bucket-accumulation
+        # adds vs the generic 8-bit Pippenger.  Opt out with
+        # ZKTPU_MSM_H_FIXED=0 (and the generic path remains the fallback
+        # for tiny domains and mesh-sharded Provers).
+        self._msm_h_fixed = None
+        if (
+            mesh is None
+            and self.n >= 2048
+            and os.environ.get("ZKTPU_MSM_H_FIXED", "1") == "1"
+        ):
+            self._msm_h_fixed = pp.FixedBaseMSM(pk.h_query, pk.h_inf, ops=jc.G1)
         if mesh is None:
             self._msm_bits_g1 = jax.jit(functools.partial(pp.msm_bits, ops=jc.G1))
             self._msm_bits_g2 = jax.jit(functools.partial(pp.msm_bits, ops=jc.G2))
@@ -200,6 +213,26 @@ class Prover:
             self._msm_bits_g2 = _sh(sh.sharded_msm_bits, jc.G2)
             self._msm_g1 = _sh(sh.sharded_msm, jc.G1)
             self._msm_g2 = _sh(sh.sharded_msm, jc.G2)
+            # mesh quotient: every NTT stage runs as the distributed 4-step
+            # transform (all_to_all over ICI); the resulting H scalars are in
+            # the 4-step matrix order, so the h_query is co-permuted ONCE
+            # here and the sharded MSM consumes both directly (the MSM sum
+            # is order-invariant — no cross-chip reshuffle per proof).
+            nd = mesh.shape[axis]
+            if self.n >= nd * nd:
+                self._sq = sh.ShardedQuotient(self.n, mesh, axis)
+                hperm = self._sq.h_perm()
+                self._dev["h_query_perm"] = (
+                    jnp.asarray(pk.h_query[hperm]),
+                    jnp.asarray(pk.h_inf[hperm]),
+                )
+                self._h_scalars = jax.jit(
+                    lambda zbits: self._sq(*self._matvecs_bits(zbits))
+                )
+            else:
+                # domain too small to split n1/n2 across nd chips (n < nd^2,
+                # only toy circuits): quotient stays replicated
+                self._sq = None
         self._from_mont = jax.jit(F.from_mont)
         # the assemble graph depends only on pk constants — share ONE jitted
         # instance across Provers over the same pk (e.g. the single-chip and
@@ -525,7 +558,14 @@ class Prover:
                 b2_msm = self._msm_bits_g2(*self._dev["b_g2_query"], zpad_j)
                 l_msm = sync(self._msm_bits_g1(*self._dev["l_query"], zpad_j))
         with stage("prove.msm_h", items=self.n):
-            h_msm = sync(self._msm_g1(*self._dev["h_query"], h_digits))
+            if self._msm_h_fixed is not None:
+                h_msm = sync(self._msm_h_fixed(h_digits))
+            elif self.mesh is not None and self._sq is not None:
+                # mesh h scalars arrive in 4-step matrix order; use the
+                # co-permuted query (see __init__)
+                h_msm = sync(self._msm_g1(*self._dev["h_query_perm"], h_digits))
+            else:
+                h_msm = sync(self._msm_g1(*self._dev["h_query"], h_digits))
         with stage("prove.assemble"):
             return self._assemble(a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed)
 
@@ -641,7 +681,10 @@ class Prover:
             l_msm = tuple(t[2] for t in g1x3)
             b2_msm = sync(self._tern["g2"](*self._dev["b_g2_query"], ztp))
         with stage("prove.msm_h", items=self.n):
-            h_msm = sync(self._msm_g1(*self._dev["h_query"], h_digits))
+            if self._msm_h_fixed is not None:
+                h_msm = sync(self._msm_h_fixed(h_digits))
+            else:
+                h_msm = sync(self._msm_g1(*self._dev["h_query"], h_digits))
         with stage("prove.assemble"):
             return self._assemble(a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed)
 
@@ -675,7 +718,10 @@ class Prover:
         b1_msm = self._msm_g1(*self._dev["b_g1_query"], zd)
         b2_msm = self._msm_g2(*self._dev["b_g2_query"], zd)
         l_msm = self._msm_g1(*self._dev["l_query"], zd)
-        h_msm = self._msm_g1(*self._dev["h_query"], h_digits)
+        if self._msm_h_fixed is not None:
+            h_msm = self._msm_h_fixed(h_digits)
+        else:
+            h_msm = self._msm_g1(*self._dev["h_query"], h_digits)
         return self._assemble(
             a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed, d_aff, dsig_aff
         )

@@ -159,7 +159,7 @@ def stage_reduce(BX, BY, BZ, ops=jc.G1):
 TREE_TAIL_WIDTH = 2048  # fixed-width fori takes over once a level is this small
 
 
-def _merge_level(ops, fid, lid, first, last, B, live_pairs=None):
+def _merge_level(ops, fid, lid, first, last, B, live_pairs=None, nbuckets=NBUCKETS):
     """One merge-tree level: pair adjacent blocks, ONE point add per pair.
 
     fid/lid (W, m): first/last segment digit of each block; first/last:
@@ -196,11 +196,11 @@ def _merge_level(ops, fid, lid, first, last, B, live_pairs=None):
     widx = jnp.broadcast_to(jnp.arange(w)[:, None], (w, half))
     BX, BY, BZ = B
     # flush 1: interior joined segment (both blocks multi-segment)
-    t1 = jnp.where(live & join & ~a_single & ~b_single, alid, NBUCKETS)
+    t1 = jnp.where(live & join & ~a_single & ~b_single, alid, nbuckets)
     # flush 2: A's completed rightmost segment (no join, A multi)
-    t2 = jnp.where(live & ~join & ~a_single, alid, NBUCKETS)
+    t2 = jnp.where(live & ~join & ~a_single, alid, nbuckets)
     # flush 3: B's completed leftmost segment (no join, B multi)
-    t3 = jnp.where(live & ~join & ~b_single, bfid, NBUCKETS)
+    t3 = jnp.where(live & ~join & ~b_single, bfid, nbuckets)
     for t, v in ((t1, cand), (t2, aL), (t3, bF)):
         BX = BX.at[widx, t].set(v[0], mode="drop")
         BY = BY.at[widx, t].set(v[1], mode="drop")
@@ -208,7 +208,7 @@ def _merge_level(ops, fid, lid, first, last, B, live_pairs=None):
     return afid, blid, new_first, new_last, (BX, BY, BZ)
 
 
-def stage_buckets_tree(ds, px, py, Z, ops=jc.G1):
+def stage_buckets_tree(ds, px, py, Z, ops=jc.G1, nbuckets=NBUCKETS):
     """Work-efficient bucket accumulation: pairwise block merging.
 
     Replaces scan+tail-scatter (O(N log N) point adds) with a binary merge
@@ -228,7 +228,7 @@ def stage_buckets_tree(ds, px, py, Z, ops=jc.G1):
     ds (W, N) sorted digits; px/py/Z (W, N, coord) lifted Jacobian points.
     Returns (BX, BY, BZ) with shape (W, NBUCKETS, coord)."""
     w, n = ds.shape
-    bshape = (w, NBUCKETS) + px.shape[2:]
+    bshape = (w, nbuckets) + px.shape[2:]
     B = (
         jnp.zeros(bshape, jnp.uint32),
         jnp.zeros(bshape, jnp.uint32),
@@ -241,7 +241,9 @@ def stage_buckets_tree(ds, px, py, Z, ops=jc.G1):
     # -------- unrolled head: true shapes while levels are wide
     m = n
     while m > max(TREE_TAIL_WIDTH, 1):
-        fid, lid, first, last, B = _merge_level(ops, fid, lid, first, last, B)
+        fid, lid, first, last, B = _merge_level(
+            ops, fid, lid, first, last, B, nbuckets=nbuckets
+        )
         m //= 2
 
     # -------- fixed-width fori tail: log2(m) levels at width m
@@ -260,7 +262,7 @@ def stage_buckets_tree(ds, px, py, Z, ops=jc.G1):
             live = jax.lax.broadcasted_iota(jnp.int32, (w, m // 2), 1) < h
             # dead-lane fid/lid may alias real bucket ids; mask via `live`
             nfid, nlid, nfirst, nlast, B = _merge_level(
-                ops, fid, lid, first, last, B, live_pairs=live
+                ops, fid, lid, first, last, B, live_pairs=live, nbuckets=nbuckets
             )
             return (
                 pad_back(nfid, m),
@@ -525,6 +527,153 @@ def msm_tern(points, inf_mask, zt, ops=jc.G1):
     y2 = jnp.where(neg, ops.neg(y), y)
     pts = jnp.stack([points[:, 0], y2], axis=1)
     return msm_bits(pts, inf_mask, (zt != 0).astype(jnp.uint32), ops=ops)
+
+
+# ------------------------------------------------- fixed-base MSM (H query)
+
+FB_WBITS = 16
+FB_NWINDOWS = 16  # 256 bits / 16
+FB_NBUCKETS = 1 << FB_WBITS
+
+
+def _axis_sum_tree(ops, T, axis):
+    """Halving-tree point sum along `axis` of a bucket triple (unrolled at
+    true shapes; the axis length must be a power of two)."""
+    n = T[0].shape[axis]
+    while n > 1:
+        h = n // 2
+
+        def sl(a, lo, hi):
+            idx = [slice(None)] * a.ndim
+            idx[axis] = slice(lo, hi)
+            return a[tuple(idx)]
+
+        T = jc.point_add(
+            ops,
+            tuple(sl(a, 0, h) for a in T),
+            tuple(sl(a, h, 2 * h) for a in T),
+        )
+        n = h
+    return tuple(jnp.squeeze(a, axis=axis) for a in T)
+
+
+def _weighted_suffix_256(ops, T):
+    """sum_j j * T[..., j, ...] over a length-256 axis 0 via the
+    double-suffix identity (stage_reduce's trick at fixed width 256)."""
+
+    def suffix(P):
+        n = 256
+        k = 1
+        while k < n:
+            def shl(a):
+                pad = jnp.zeros_like(a)
+                cat = jnp.concatenate([a, pad], axis=0)
+                return jax.lax.dynamic_slice_in_dim(cat, k, n, axis=0)
+
+            P = jc.point_add(ops, P, tuple(shl(a) for a in P))
+            k <<= 1
+        return P
+
+    S = suffix(T)
+    U = suffix(S)
+    return tuple(a[1] for a in U)
+
+
+class FixedBaseMSM:
+    """MSM over a FIXED point set (the Groth16 H query — constant per
+    proving key) with 16-bit windows.
+
+    The shifted copies Q[w, i] = 2^(16 w) * P_i are precomputed ON DEVICE
+    once, so every per-proof window digit indexes its own pre-shifted point
+    and all 16 windows fold into ONE flat bucket accumulation over 2^16
+    buckets: ~16N merge-tree adds total versus 32N for the generic 8-bit
+    Pippenger (plus a cheaper hierarchical bucket reduction and NO window
+    Horner).  gnark's CPU analog is the c=13 signed-digit batch-affine MSM
+    (BASELINE.md pgo analysis); this is the TPU-shaped counterpart —
+    sort + segment-merge instead of data-dependent scatter.
+
+    Bucket reduction: sum_j j*B_j over j = 256*hi + lo decomposes as
+      256 * sum_hi hi*rowsum[hi] + sum_lo lo*colsum[lo]
+    with row/col sums as log-depth halving trees over the (256, 256)
+    reshape — ~130k adds, same budget as the 8-bit double-suffix."""
+
+    def __init__(self, points, inf_mask, ops=jc.G1):
+        self.ops = ops
+        n = points.shape[0]
+        assert n & (n - 1) == 0, "pad N to a power of two"
+        self.n = n
+        self._precompute = jax.jit(functools.partial(self._shift_copies, ops=ops))
+        QX, QY, QZ = self._precompute(jnp.asarray(points), jnp.asarray(inf_mask))
+        cshape = _coord_shape(ops)
+        self._Q = (
+            QX.reshape((FB_NWINDOWS * n,) + cshape),
+            QY.reshape((FB_NWINDOWS * n,) + cshape),
+            QZ.reshape((FB_NWINDOWS * n,) + cshape),
+        )
+        self._prepare = jax.jit(functools.partial(self._prepare_impl, ops=ops))
+        self._tree = jax.jit(
+            functools.partial(stage_buckets_tree, ops=ops, nbuckets=FB_NBUCKETS)
+        )
+        self._reduce = jax.jit(functools.partial(self._reduce_hier, ops=ops))
+
+    @staticmethod
+    def _shift_copies(points, inf_mask, ops):
+        """(N, 2, coord) affine + mask -> (16, N, coord) Jacobian triples of
+        2^(16 w) * P_i (Z = 0 encodes infinity and survives doubling)."""
+        n = points.shape[0]
+        cshape = _coord_shape(ops)
+        one = _one_mont(ops)
+        X = points[:, 0]
+        Y = points[:, 1]
+        Z = jnp.where(
+            inf_mask.reshape((n,) + (1,) * len(cshape)),
+            jnp.zeros((n,) + cshape, jnp.uint32),
+            jnp.broadcast_to(one, (n,) + cshape),
+        )
+        bufs = tuple(
+            jnp.zeros((FB_NWINDOWS,) + t.shape, jnp.uint32).at[0].set(t)
+            for t in (X, Y, Z)
+        )
+
+        def body(w, carry):
+            bufs, P = carry
+            for _ in range(FB_WBITS):
+                P = jc.point_double(ops, P)
+            bufs = tuple(b.at[w].set(c) for b, c in zip(bufs, P))
+            return bufs, P
+
+        bufs, _ = jax.lax.fori_loop(1, FB_NWINDOWS, body, (bufs, (X, Y, Z)))
+        return bufs
+
+    @staticmethod
+    def _prepare_impl(QX, QY, QZ, scalar_limbs, ops):
+        """(N, 16) canonical 16-bit limbs -> sorted flat digit/point arrays
+        with the W=1 leading axis the merge tree expects.  The window-w
+        digit IS limb w, so digits_flat[w*N + i] pairs with Q[w*N + i]."""
+        d_flat = scalar_limbs.T.reshape(-1)  # (16N,)
+        order = jnp.argsort(d_flat)
+        ds = jnp.take(d_flat, order)
+        px = jnp.take(QX, order, axis=0)
+        py = jnp.take(QY, order, axis=0)
+        pz = jnp.take(QZ, order, axis=0)
+        return ds[None], px[None], py[None], pz[None]
+
+    def _reduce_hier(self, BX, BY, BZ, ops):
+        """(1, 65536, coord) buckets -> one Jacobian point sum_j j*B_j."""
+        cshape = BX.shape[2:]
+        B = tuple(t.reshape((256, 256) + cshape) for t in (BX, BY, BZ))
+        rows = _axis_sum_tree(ops, B, axis=1)  # (256,): sum_lo B[hi, lo]
+        cols = _axis_sum_tree(ops, B, axis=0)  # (256,): sum_hi B[hi, lo]
+        wr = _weighted_suffix_256(ops, rows)  # sum_hi hi * rows[hi]
+        wc = _weighted_suffix_256(ops, cols)  # sum_lo lo * cols[lo]
+        for _ in range(8):  # * 256
+            wr = jc.point_double(ops, wr)
+        return jc.point_add(ops, wr, wc)
+
+    def __call__(self, scalar_limbs):
+        ds, px, py, pz = self._prepare(*self._Q, scalar_limbs)
+        B = self._tree(ds, px, py, pz)
+        return self._reduce(*B)
 
 
 # ----------------------------------------------------------- host reference
