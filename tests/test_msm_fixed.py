@@ -18,7 +18,7 @@ from zktpu.msm import pippenger as pp
 @pytest.fixture(scope="module")
 def fixed_msm():
     rng = np.random.default_rng(3)
-    n = 512  # flat M = 8k: keeps the XLA:CPU compile in the fast tier
+    n = 128  # flat M = 2k -> all-fori merge tail: small XLA:CPU compile
     base = [ec.G1_CURVE.mul(ec.G1_GEN, int(k)) for k in rng.integers(1, 2**62, 48)]
     pts = [base[i % 48] for i in range(n)]
     P = jc.g1_to_limbs(pts)

@@ -48,8 +48,13 @@ def _qr(b, st, i, j, k, l):
     st[i], st[j], st[k], st[l] = a_, b_, c_, d_
 
 
-def define(b):
-    """The circuit body, backend-polymorphic (runs for synth AND witness)."""
+def define(b, double_rounds: int = 10):
+    """The circuit body, backend-polymorphic (runs for synth AND witness).
+
+    double_rounds: 10 = the production RFC 7539 circuit; smaller values
+    give structurally-identical SLICES (used by the multichip dryrun to
+    mesh-prove a >=4k-constraint chacha at a compile budget the virtual
+    CPU mesh can afford)."""
     counter = b.pub_word()
     nonce = [b.pub_word() for _ in range(3)]
     inp = [b.pub_word() for _ in range(16)]
@@ -58,7 +63,7 @@ def define(b):
 
     state = [b.const_word(c) for c in CHACHA_CONSTS] + key + [counter] + nonce
     work = list(state)
-    for _ in range(10):
+    for _ in range(double_rounds):
         for idx in QR_SCHEDULE:
             _qr(b, work, *idx)
     final = [b.add32(state[i], work[i]) for i in range(16)]
@@ -114,9 +119,9 @@ class SynthBackend:
             self.builder.assert_eq(a[i], b[i])
 
 
-def synthesize():
+def synthesize(double_rounds: int = 10):
     b = SynthBackend()
-    define(b)
+    define(b, double_rounds)
     return b.builder
 
 
@@ -227,13 +232,16 @@ def _index_map(schedule, n_words: int) -> np.ndarray:
     return np.asarray(idx, dtype=np.int32)
 
 
-@jax.jit
-def witness_bits(counter, nonce, inp, out, key):
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("double_rounds",))
+def witness_bits(counter, nonce, inp, out, key, double_rounds: int = 10):
     """Run the circuit over batched word inputs; return (batch, num_vars)
     uint32 0/1 witness (z[0]=1 included), in variable-index order."""
     eb = EvalBackend(counter, nonce, inp, out, key)
     b = _ConstLift(eb, counter.shape)
-    define(b)
+    define(b, double_rounds)
     W = jnp.stack(eb.words, axis=-1)  # (B, E)
     bits = _unpack32(W).reshape(counter.shape + (len(eb.words) * BITS,))
     flat = jnp.concatenate([bits, jnp.stack(eb.carries, axis=-1)], axis=-1)
@@ -243,6 +251,36 @@ def witness_bits(counter, nonce, inp, out, key):
 
 
 # --------------------------------------------------------------- cipher (jnp)
+
+
+def chacha_block_words_reduced(key, counter, nonce, double_rounds: int):
+    """Reduced-round block function (dryrun slice oracle, host numpy)."""
+    import numpy as _np
+
+    def rotl(x, n):
+        return ((x << _np.uint64(n)) | (x >> _np.uint64(32 - n))) & _np.uint64(
+            0xFFFFFFFF
+        )
+
+    st = [_np.uint64(c) for c in CHACHA_CONSTS]
+    st += [_np.uint64(k) for k in key] + [_np.uint64(counter)]
+    st += [_np.uint64(x) for x in nonce]
+    w = list(st)
+
+    def qr(w, a, b, c, d):
+        w[a] = (w[a] + w[b]) & _np.uint64(0xFFFFFFFF)
+        w[d] = rotl(w[d] ^ w[a], 16)
+        w[c] = (w[c] + w[d]) & _np.uint64(0xFFFFFFFF)
+        w[b] = rotl(w[b] ^ w[c], 12)
+        w[a] = (w[a] + w[b]) & _np.uint64(0xFFFFFFFF)
+        w[d] = rotl(w[d] ^ w[a], 8)
+        w[c] = (w[c] + w[d]) & _np.uint64(0xFFFFFFFF)
+        w[b] = rotl(w[b] ^ w[c], 7)
+
+    for _ in range(double_rounds):
+        for idx in QR_SCHEDULE:
+            qr(w, *idx)
+    return [int((w[i] + st[i]) & _np.uint64(0xFFFFFFFF)) for i in range(16)]
 
 
 @jax.jit

@@ -537,42 +537,51 @@ FB_NBUCKETS = 1 << FB_WBITS
 
 
 def _axis_sum_tree(ops, T, axis):
-    """Halving-tree point sum along `axis` of a bucket triple (unrolled at
-    true shapes; the axis length must be a power of two)."""
+    """Halving-tree point sum along `axis` of a bucket triple.
+
+    ONE point_add instance in the graph: a fori_loop with a traced
+    half-width shift.  Lanes past the live width go stale but are never
+    read (step k reads lanes < h_prev only), so no masking is needed."""
     n = T[0].shape[axis]
-    while n > 1:
-        h = n // 2
+    logn = n.bit_length() - 1
 
-        def sl(a, lo, hi):
-            idx = [slice(None)] * a.ndim
-            idx[axis] = slice(lo, hi)
-            return a[tuple(idx)]
+    def shl(a, s):
+        pad = jnp.zeros_like(a)
+        cat = jnp.concatenate([a, pad], axis=axis)
+        start = [0] * cat.ndim
+        start[axis] = s
+        sizes = list(cat.shape)
+        sizes[axis] = n
+        return jax.lax.dynamic_slice(cat, start, sizes)
 
-        T = jc.point_add(
-            ops,
-            tuple(sl(a, 0, h) for a in T),
-            tuple(sl(a, h, 2 * h) for a in T),
-        )
-        n = h
-    return tuple(jnp.squeeze(a, axis=axis) for a in T)
+    def body(k, P):
+        h = n >> (k + 1)
+        return jc.point_add(ops, P, tuple(shl(a, h) for a in P))
+
+    T = jax.lax.fori_loop(0, logn, body, T)
+    idx = [slice(None)] * T[0].ndim
+    idx[axis] = 0
+    return tuple(a[tuple(idx)] for a in T)
 
 
 def _weighted_suffix_256(ops, T):
-    """sum_j j * T[..., j, ...] over a length-256 axis 0 via the
-    double-suffix identity (stage_reduce's trick at fixed width 256)."""
+    """sum_j j * T[j, ...] over a length-256 axis 0 via the double-suffix
+    identity (stage_reduce's trick); each suffix scan is a fori_loop with a
+    traced doubling shift — one point_add instance per scan."""
 
     def suffix(P):
         n = 256
-        k = 1
-        while k < n:
-            def shl(a):
-                pad = jnp.zeros_like(a)
-                cat = jnp.concatenate([a, pad], axis=0)
-                return jax.lax.dynamic_slice_in_dim(cat, k, n, axis=0)
 
-            P = jc.point_add(ops, P, tuple(shl(a) for a in P))
-            k <<= 1
-        return P
+        def shl(a, s):
+            pad = jnp.zeros_like(a)
+            cat = jnp.concatenate([a, pad], axis=0)
+            return jax.lax.dynamic_slice_in_dim(cat, s, n, axis=0)
+
+        def body(k, P):
+            s = jnp.int32(1) << k
+            return jc.point_add(ops, P, tuple(shl(a, s) for a in P))
+
+        return jax.lax.fori_loop(0, 8, body, P)
 
     S = suffix(T)
     U = suffix(S)
