@@ -177,13 +177,12 @@ class Prover:
         # adds vs the generic 8-bit Pippenger.  Opt out with
         # ZKTPU_MSM_H_FIXED=0 (and the generic path remains the fallback
         # for tiny domains and mesh-sharded Provers).
-        self._msm_h_fixed = None
-        if (
+        self._use_h_fixed = (
             mesh is None
             and self.n >= 2048
             and os.environ.get("ZKTPU_MSM_H_FIXED", "1") == "1"
-        ):
-            self._msm_h_fixed = pp.FixedBaseMSM(pk.h_query, pk.h_inf, ops=jc.G1)
+        )
+        self._msm_h_fixed_inst = None
         if mesh is None:
             self._msm_bits_g1 = jax.jit(functools.partial(pp.msm_bits, ops=jc.G1))
             self._msm_bits_g2 = jax.jit(functools.partial(pp.msm_bits, ops=jc.G2))
@@ -634,6 +633,18 @@ class Prover:
                 )
             )  # (B, 12, 16) — one transfer for the whole batch
         return [self._proof_from_packed(packed[i]) for i in range(bsz)]
+
+    @property
+    def _msm_h_fixed(self):
+        """Lazy FixedBaseMSM for the H query: its device precompute (the
+        2^(16w) shift copies) runs at FIRST prove, not service init."""
+        if not self._use_h_fixed:
+            return None
+        if self._msm_h_fixed_inst is None:
+            self._msm_h_fixed_inst = pp.FixedBaseMSM(
+                self.pk.h_query, self.pk.h_inf, ops=jc.G1
+            )
+        return self._msm_h_fixed_inst
 
     # ------------------------------------------------- ternary witness path
     def _ensure_tern(self):

@@ -26,7 +26,13 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+import warnings
+
+with warnings.catch_warnings():
+    # the new jax.shard_map entry point renames check_rep -> check_vma;
+    # stay on the stable-behavior experimental alias until we drop the flag
+    warnings.simplefilter("ignore", DeprecationWarning)
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..curve import jnp_curve as jc
