@@ -215,10 +215,85 @@ def _decode_varints(buf: bytes) -> list:
     return vals
 
 
+def decode_intcomp32_blocks(words):
+    """ronanh/intcomp uint32 stream -> the full-block values (reverse-
+    engineered; validated bit-exactly against known plaintext for all three
+    uint32 instruction arrays of r1cs.chacha20).
+
+    Layout: [nbFullBlockValues, nbBlockWords, initValue, blocks...]; each
+    128-value block = one header word (byte k, MSB-first, describes
+    subgroup k of 32 values: low 7 bits = bit width, 0x80 = zigzag-coded
+    deltas) + width words per subgroup, values packed LSB-first.  The <128
+    remaining values use a varint scheme we do not need (instruction tails
+    are classifiable from calldata alone) and are NOT decoded here."""
+    nfull, _, init = words[0], words[1], words[2]
+    out = []
+    prev = init
+    p = 3
+    for _ in range(nfull // 128):
+        hdr = words[p]
+        p += 1
+        for g in range(4):
+            byt = (hdr >> (8 * (3 - g))) & 0xFF
+            flag = byt & 0x80
+            bl = byt & 0x7F
+            if bl == 0:
+                vals = [0] * 32
+            else:
+                buf = words[p : p + bl]
+                p += bl
+                vals = []
+                bitpos = 0
+                for _i in range(32):
+                    wi, bo = bitpos >> 5, bitpos & 31
+                    v = buf[wi] >> bo
+                    if bo + bl > 32 and wi + 1 < bl:
+                        v |= buf[wi + 1] << (32 - bo)
+                    vals.append(v & ((1 << bl) - 1))
+                    bitpos += bl
+            for v in vals:
+                if flag:  # zigzag
+                    d = ((v >> 1) ^ (0xFFFFFFFF * (v & 1))) & 0xFFFFFFFF
+                else:
+                    d = v
+                prev = (prev + d) & 0xFFFFFFFF
+                out.append(prev)
+    return out
+
+
+def read_blueprint_ids(data: bytes):
+    """Per-instruction BlueprintID for the FULL-BLOCK prefix (multiple of
+    128); the <128-instruction tail is returned as None entries."""
+    s1, s2, s3, s4 = struct.unpack("<4Q", data[32:64])
+    ins = data[64 + s1 : 64 + s1 + s2]
+    n0 = struct.unpack("<Q", ins[:8])[0]
+    arr0 = list(struct.unpack(f"<{n0}I", ins[8 : 8 + 4 * n0]))
+    return decode_intcomp32_blocks(arr0)
+
+
 @dataclasses.dataclass
 class HintInst:
     hint_id: int
     exprs: list  # list of [(coeff_id, wire_id)] — wire CONST_WIRE = constant
+    out_start: int
+    out_end: int
+
+
+@dataclasses.dataclass
+class LookupInst:
+    """gnark BlueprintLookupHint instruction (logderivlookup query batch).
+
+    calldata layout (pinned empirically on r1cs.aes128):
+      [nbTotal, nbTableEntries, nbQueries, per query: len, (coeffID,
+       wireID) x len]
+    Output wires are NOT in calldata — they are the next nbQueries
+    internal wires at the instruction's position (reconstructed by the
+    running wire counter in read_r1cs).  table_id indexes
+    GnarkR1CS.lookup_tables (from the blueprint registry's
+    EntriesCalldata)."""
+
+    table_id: int
+    queries: list  # list of [(coeff_id, wire_id)]
     out_start: int
     out_end: int
 
@@ -234,8 +309,9 @@ class R1CInst:
 class GnarkR1CS:
     meta: GnarkR1CSMeta
     coeffs: list  # canonical Python ints (Montgomery form decoded)
-    instructions: list  # HintInst | R1CInst, synthesis order
+    instructions: list  # HintInst | R1CInst | LookupInst, synthesis order
     commitment_info: list  # raw CBOR payload entries (BSB22), [] if none
+    lookup_tables: list = dataclasses.field(default_factory=list)  # [[int]]
 
     @property
     def nb_public_wires(self) -> int:
@@ -248,6 +324,19 @@ class GnarkR1CS:
     @property
     def constraints(self):
         return [i for i in self.instructions if isinstance(i, R1CInst)]
+
+    @property
+    def committed_wires(self) -> list:
+        """PrivateCommitted wire ids of the (single) BSB22 commitment."""
+        if not self.commitment_info:
+            return []
+        return list(self.commitment_info[0].get("PrivateCommitted", []))
+
+    @property
+    def commitment_wire(self):
+        if not self.commitment_info:
+            return None
+        return int(self.commitment_info[0]["CommitmentIndex"])
 
 
 def read_r1cs(data: bytes) -> GnarkR1CS:
@@ -276,22 +365,58 @@ def read_r1cs(data: bytes) -> GnarkR1CS:
     if isinstance(comm, tuple) and comm[0] == "tag" and isinstance(comm[2], list):
         comm_payload = comm[2]
 
+    # lookup tables from the blueprint registry (BlueprintLookupHint entries
+    # carry EntriesCalldata = per-entry linear exprs over constants)
+    tables = []
+    lookup_bp_ids = {}  # blueprint index -> table index
+    for bidx, bp in enumerate(meta_cbor.get("Blueprints") or []):
+        payload = bp[2] if isinstance(bp, tuple) and bp[0] == "tag" else bp
+        if not (isinstance(payload, dict) and "EntriesCalldata" in payload):
+            continue
+        ec = payload["EntriesCalldata"]
+        tvals = []
+        j = 0
+        while j < len(ec):
+            el = ec[j]
+            j += 1
+            v = 0
+            for _ in range(el):
+                cid, wid = ec[j], ec[j + 1]
+                j += 2
+                if wid != CONST_WIRE:
+                    raise GnarkR1CSError("lookup table entry references a wire")
+                v += coeffs[cid]
+            tvals.append(v % P_FR)
+        lookup_bp_ids[bidx] = len(tables)
+        tables.append(tvals)
+
+    bpids = read_blueprint_ids(data) if tables else []
+
     hint_ids = set(meta.hint_names)
     insts = []
     i = 0
     n = len(vals)
+    next_wire = len(meta.public_names) + len(meta.secret_names)
+    idx = 0
     while i < n:
         nb = vals[i]
         if nb <= 0 or i + nb > n:
             raise GnarkR1CSError(f"bad instruction length {nb} at calldata[{i}]")
         u = vals[i : i + nb]
         ll, lr, lo = (u[1], u[2], u[3]) if nb >= 4 else (0, 0, 0)
-        if nb >= 4 and nb == 4 + 2 * (ll + lr + lo) and u[1] not in hint_ids:
+        bp = bpids[idx] if idx < len(bpids) else None
+        if (
+            nb >= 4
+            and nb == 4 + 2 * (ll + lr + lo)
+            and u[1] not in hint_ids
+            and (bp is None or bp == 1)
+        ):
             terms = [(u[4 + 2 * k], u[5 + 2 * k]) for k in range(ll + lr + lo)]
-            insts.append(
-                R1CInst(l=terms[:ll], r=terms[ll : ll + lr], o=terms[ll + lr :])
-            )
-        elif nb >= 2 and u[1] in hint_ids:
+            inst = R1CInst(l=terms[:ll], r=terms[ll : ll + lr], o=terms[ll + lr :])
+            for _, wid in terms:
+                if wid != CONST_WIRE and wid >= next_wire:
+                    next_wire = wid + 1
+        elif nb >= 2 and u[1] in hint_ids and (bp is None or bp == 0):
             ne = u[2]
             j = 3
             exprs = []
@@ -302,38 +427,94 @@ def read_r1cs(data: bytes) -> GnarkR1CS:
                 j += 2 * el
             if j + 2 != nb:
                 raise GnarkR1CSError(f"hint unit length mismatch at calldata[{i}]")
-            insts.append(
-                HintInst(hint_id=u[1], exprs=exprs, out_start=u[j], out_end=u[j + 1])
+            inst = HintInst(
+                hint_id=u[1], exprs=exprs, out_start=u[j], out_end=u[j + 1]
             )
+            next_wire = max(next_wire, inst.out_end)
+        elif bp is not None and bp in lookup_bp_ids:
+            # [nbTotal, nbTableEntries, nbQueries, per query: len, pairs]
+            nq = u[2]
+            if u[1] != len(tables[lookup_bp_ids[bp]]):
+                raise GnarkR1CSError(
+                    f"lookup unit table size {u[1]} != blueprint table"
+                )
+            j = 3
+            queries = []
+            for _ in range(nq):
+                el = u[j]
+                j += 1
+                queries.append(
+                    [(u[j + 2 * k], u[j + 2 * k + 1]) for k in range(el)]
+                )
+                j += 2 * el
+            if j != nb:
+                raise GnarkR1CSError(f"lookup unit length mismatch at calldata[{i}]")
+            inst = LookupInst(
+                table_id=lookup_bp_ids[bp],
+                queries=queries,
+                out_start=next_wire,
+                out_end=next_wire + nq,
+            )
+            next_wire += nq
         else:
             raise GnarkR1CSError(
-                f"unrecognized instruction unit at calldata[{i}]: {u[:8]}"
+                f"unrecognized instruction unit at calldata[{i}] (bp={bp}): {u[:8]}"
             )
+        insts.append(inst)
         i += nb
+        idx += 1
     nb_r1c = sum(1 for x in insts if isinstance(x, R1CInst))
     if nb_r1c != meta.nb_constraints:
         raise GnarkR1CSError(
             f"decoded {nb_r1c} R1C constraints, metadata says {meta.nb_constraints}"
         )
+    if next_wire > meta.nb_wires:
+        raise GnarkR1CSError(
+            f"wire allocation overran: {next_wire} > {meta.nb_wires}"
+        )
     return GnarkR1CS(
-        meta=meta, coeffs=coeffs, instructions=insts, commitment_info=comm_payload
+        meta=meta,
+        coeffs=coeffs,
+        instructions=insts,
+        commitment_info=comm_payload,
+        lookup_tables=tables,
     )
 
 
 # ------------------------------------------------------- witness solving
 
-# gnark std/math/bits hints (MHintsDependencies import paths).
+# gnark hint import paths (MHintsDependencies values).
 _HINT_NBITS = "github.com/consensys/gnark/std/math/bits.nBits"
+_HINT_COUNT = "github.com/consensys/gnark/std/internal/logderivarg.countHint"
+_HINT_RANDOMIZE = "github.com/consensys/gnark/internal/hints.Randomize"
+_HINT_BSB22 = "github.com/consensys/gnark/frontend/cs.Bsb22CommitmentComputePlaceholder"
 
 
-def solve_witness(r1cs: GnarkR1CS, public_vals, secret_vals, p: int = P_FR):
+def solve_witness(
+    r1cs: GnarkR1CS,
+    public_vals,
+    secret_vals,
+    p: int = P_FR,
+    bsb22_challenge=None,
+    randomize_value: int = 0x52414E44,
+):
     """Reference witness solver (big-int, sequential) — the oracle path.
 
     Mirrors gnark's R1CS solver semantics (one unknown wire per R1C, hints
     executed in instruction order; reference call site provers.go:148 via
     groth16.Prove -> r1cs.Solve [dep go.mod:8]).  public_vals/secret_vals:
     ints in wire order (publics WITHOUT the leading 1).  Returns the full
-    witness as a list of ints indexed by wire ID."""
+    witness as a list of ints indexed by wire ID.
+
+    Lookup circuits (aesV2): LookupInst outputs are table[index];
+    countHint computes logderiv multiplicities; the BSB22 commitment hint
+    calls `bsb22_challenge(committed_input_values) -> int` — by instruction
+    order its inputs (the committed wires) are already solved, so the
+    two-phase commit flow collapses into one callback.  Any challenge value
+    satisfies the log-derivative sum identity (it is a rational-function
+    identity in the challenge), so satisfaction tests may pass a constant;
+    a real prover passes the commitment hash.  `randomize_value` seeds the
+    gnark internal Randomize hint (commitment blinding) deterministically."""
     meta = r1cs.meta
     npub = len(meta.public_names)  # includes "1"
     nsec = len(meta.secret_names)
@@ -364,7 +545,16 @@ def solve_witness(r1cs: GnarkR1CS, public_vals, secret_vals, p: int = P_FR):
         return s % p, uw, uc
 
     for idx, inst in enumerate(r1cs.instructions):
-        if isinstance(inst, HintInst):
+        if isinstance(inst, LookupInst):
+            table = r1cs.lookup_tables[inst.table_id]
+            for k, q in enumerate(inst.queries):
+                s, uw, _ = ev(q)
+                if uw is not None:
+                    raise GnarkR1CSError(f"lookup query with unsolved wire {uw}")
+                if s >= len(table):
+                    raise GnarkR1CSError(f"lookup index {s} out of range")
+                w[inst.out_start + k] = table[s] % p
+        elif isinstance(inst, HintInst):
             name = hint_names.get(inst.hint_id, "")
             ins = []
             for e in inst.exprs:
@@ -376,6 +566,40 @@ def solve_witness(r1cs: GnarkR1CS, public_vals, secret_vals, p: int = P_FR):
             if name == _HINT_NBITS:
                 v = ins[0]  # nBits: inputs[0] is the value to decompose
                 outs = [(v >> k) & 1 for k in range(nout)]
+            elif name == _HINT_COUNT:
+                # logderivarg multiplicities.  Input layout (pinned
+                # empirically on r1cs.aes128): [nbRows, nbCols,
+                # table rows interleaved (col0, col1, ...) x nbRows,
+                # query tuples (col0, col1, ...) x Q]; out[i] =
+                # multiplicity of table row i among the query tuples.
+                nrows, ncols = ins[0], ins[1]
+                if nrows != nout:
+                    raise GnarkR1CSError(
+                        f"countHint nbRows {nrows} != nbOutputs {nout}"
+                    )
+                body = ins[2:]
+                rows = [
+                    tuple(body[i * ncols : (i + 1) * ncols])
+                    for i in range(nrows)
+                ]
+                qbody = body[nrows * ncols :]
+                if len(qbody) % ncols:
+                    raise GnarkR1CSError("countHint query tuples misaligned")
+                from collections import Counter
+
+                cnt = Counter(
+                    tuple(qbody[i * ncols : (i + 1) * ncols])
+                    for i in range(len(qbody) // ncols)
+                )
+                outs = [cnt.get(r, 0) for r in rows]
+            elif name == _HINT_RANDOMIZE:
+                outs = [randomize_value % p] * nout
+            elif name == _HINT_BSB22:
+                if bsb22_challenge is None:
+                    raise GnarkR1CSError(
+                        "circuit has a BSB22 commitment; pass bsb22_challenge"
+                    )
+                outs = [int(bsb22_challenge(ins)) % p] * nout
             else:
                 raise GnarkR1CSError(f"unimplemented hint {name or inst.hint_id}")
             for k, v in enumerate(outs):
