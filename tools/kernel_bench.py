@@ -84,13 +84,13 @@ def main():
         )
     ins = [(rand_mont(NMUL), rand_mont(NMUL)) for _ in range(4)]
     mm = jax.jit(Ff.mont_mul)
-    bench("fr_mont_mul_u32 (1M lanes)", NMUL, mm, ins, fetch=lambda o: o[0])
+    bench("fr_mont_mul (1M lanes, JnpField dispatch)", NMUL, mm, ins, fetch=lambda o: o[0])
 
     if backend != "cpu":
         from zktpu.curve import pallas_f32
 
         try:
-            mmf = jax.jit(lambda a, b: pallas_f32.mont_mul(a, b, FP))
+            mmf = jax.jit(lambda a, b: pallas_f32.mont_mul(a, b, field="fp"))
             bench("fp_mont_mul_pallas_f32 (1M lanes)", NMUL, mmf, ins,
                   fetch=lambda o: o[0])
         except Exception as e:  # noqa: BLE001
