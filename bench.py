@@ -193,8 +193,12 @@ def main():
             prover._g1_stack, prover._g1_stack_inf, zpad
         ),
         "msm_b_g2": lambda: prover._msm_bits_g2(*prover._dev["b_g2_query"], zpad),
-        "msm_h": lambda: prover._msm_g1(
-            *prover._dev["h_query"], jnp.zeros((prover.n, 16), jnp.uint32)
+        "msm_h": lambda: (
+            prover._msm_h_fixed(jnp.ones((prover.n, 16), jnp.uint32))
+            if prover._msm_h_fixed is not None
+            else prover._msm_g1(
+                *prover._dev["h_query"], jnp.zeros((prover.n, 16), jnp.uint32)
+            )
         ),
     }
     threads = [
@@ -219,7 +223,14 @@ def main():
         lambda: prover._msm_bits_g1x3(prover._g1_stack, prover._g1_stack_inf, zpad),
     )
     stage("msm_b_g2", lambda: prover._msm_bits_g2(*prover._dev["b_g2_query"], zpad))
-    stage("msm_h", lambda: prover._msm_g1(*prover._dev["h_query"], h))
+    stage(
+        "msm_h",
+        lambda: (
+            prover._msm_h_fixed(h)
+            if prover._msm_h_fixed is not None
+            else prover._msm_g1(*prover._dev["h_query"], h)
+        ),
+    )
 
     runs = int(os.environ.get("BENCH_RUNS", "5"))
 
@@ -236,20 +247,10 @@ def main():
     record("chacha20_prove_ms", host_ms, full_prove=True)
     log(f"prove latency (host assemble): {host_ms:.1f} ms/proof over {runs} runs")
 
-    # --- device assembly (the production TPU path: one packed transfer)
-    prover.assemble_on_host = False
-    t0 = time.time()
-    prover.prove(z, rng_seed=b"warmup-dev")
-    log(f"warmup device-assemble prove: {time.time()-t0:.1f}s")
-    t0 = time.time()
-    for i in range(runs):
-        prover.prove(z, rng_seed=b"bench%d" % i)
-    per_proof_ms = (time.time() - t0) / runs * 1000.0
-    log(f"prove latency: {per_proof_ms:.1f} ms/proof over {runs} runs")
-    if per_proof_ms < host_ms:
-        record("chacha20_prove_ms", per_proof_ms, full_prove=True)
-
-    # batched throughput (DP axis): 8 proofs per dispatch chain.  Reported
+    # batched throughput (DP axis) FIRST — the v5e-8 story's number; the
+    # device-assemble compile gamble runs last so a deadline can only cost
+    # the least-informative stage (measured: device assemble is not faster
+    # than host assemble on the tunneled chip).  Reported
     # under its OWN name as a side field — chacha20_prove_ms stays strictly
     # the single-proof latency (ADVICE r3 medium).
     try:
@@ -270,6 +271,19 @@ def main():
         BEST["chacha20_prove_ms_batch%d_amortized" % bsz] = round(amort, 3)
     except Exception as e:  # noqa: BLE001 — throughput stage is best-effort
         log("batch prove failed:", repr(e))
+
+    # --- device assembly (the production TPU path: one packed transfer)
+    prover.assemble_on_host = False
+    t0 = time.time()
+    prover.prove(z, rng_seed=b"warmup-dev")
+    log(f"warmup device-assemble prove: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    for i in range(runs):
+        prover.prove(z, rng_seed=b"bench%d" % i)
+    per_proof_ms = (time.time() - t0) / runs * 1000.0
+    log(f"prove latency: {per_proof_ms:.1f} ms/proof over {runs} runs")
+    if per_proof_ms < host_ms:
+        record("chacha20_prove_ms", per_proof_ms, full_prove=True)
 
     from zktpu.utils import metrics
 

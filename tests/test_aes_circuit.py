@@ -94,13 +94,17 @@ def test_aes128_witness_satisfies_r1cs(aes128_witness):
 
 
 def test_aes128_constraint_count(aes128_witness):
-    # regression pin (aes128_test.go:117-133 analog): synthesis must stay
-    # deterministic; update deliberately if the circuit changes
+    # regression pin (aes128_test.go:117-133 analog): the ACTUAL numbers,
+    # so an accidental circuit change fails loudly (VERDICT r3 weak #10 —
+    # the old assert compared compile() to itself).  Update deliberately
+    # if the circuit changes; keygen prints the same counts.
     b, _ = aes128_witness
     cs = b.compile()
-    assert cs.num_constraints == b.compile().num_constraints  # deterministic
+    assert cs.num_constraints == 45571
+    assert cs.num_vars == 46844
+    assert cs.num_public == 141
+    assert len(cs.committed_vars) == 2640
     assert len(cs.challenge_vars) == 2
-    assert len(cs.committed_vars) > 0
 
 
 def test_aes128_tampered_multiplicity_fails(aes128_witness):
