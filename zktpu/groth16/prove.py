@@ -177,10 +177,13 @@ class Prover:
         # adds vs the generic 8-bit Pippenger.  Opt out with
         # ZKTPU_MSM_H_FIXED=0 (and the generic path remains the fallback
         # for tiny domains and mesh-sharded Provers).
+        default_fixed = "1" if jax.default_backend() == "tpu" else "0"
+        # XLA:CPU takes hours to compile the 16N-lane flat merge tree at AES
+        # domain sizes, and CPU runs are tests — keep the generic path there
         self._use_h_fixed = (
             mesh is None
             and self.n >= 2048
-            and os.environ.get("ZKTPU_MSM_H_FIXED", "1") == "1"
+            and os.environ.get("ZKTPU_MSM_H_FIXED", default_fixed) == "1"
         )
         self._msm_h_fixed_inst = None
         if mesh is None:
