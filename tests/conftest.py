@@ -28,3 +28,37 @@ jax.config.update("jax_platforms", "cpu")
 import zktpu  # noqa: E402
 
 zktpu.disable_compile_cache_for_cpu()
+
+# --------------------------------------------------------------------------
+# Witness disk cache (fast-tier latency, VERDICT r3 item 10).
+#
+# Solving a full-circuit witness eagerly on XLA:CPU costs minutes (tens of
+# thousands of small dispatches).  The witness itself is a pure function of
+# the circuit source + inputs, so the fast tier memoizes it on disk KEYED BY
+# THE sha256 OF THE SOURCE FILES involved: any edit to the circuit or solver
+# invalidates the cache and the witness is re-solved — the "solver output
+# still satisfies the R1CS" guard is preserved exactly.  Delete tests/_cache
+# (gitignored) to force regeneration; slow-tier e2e tests always re-solve.
+
+import hashlib  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "_cache")
+
+
+def cached_witness(tag: str, source_files: list, inputs_key: bytes, producer):
+    """Return producer() memoized on disk under a source-hash key."""
+    h = hashlib.sha256(inputs_key)
+    for sf in source_files:
+        with open(sf, "rb") as f:
+            h.update(f.read())
+    path = os.path.join(_CACHE_DIR, f"{tag}-{h.hexdigest()[:24]}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    out = np.asarray(producer())
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    with open(path + ".tmp", "wb") as f:
+        np.save(f, out)
+    os.replace(path + ".tmp", path)
+    return out

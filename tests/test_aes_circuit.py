@@ -70,16 +70,31 @@ def test_oracle_fips197_single_block():
 
 def _witness_and_builder(variant, key, ct):
     b = av.synthesize(variant)
-    nb = np.frombuffer(NONCE, np.uint8).astype(np.uint32)[None]
-    ptb = np.frombuffer(PT, np.uint8).astype(np.uint32)[None]
-    ctb = np.frombuffer(ct, np.uint8).astype(np.uint32)[None]
-    kb = np.frombuffer(key, np.uint8).astype(np.uint32)[None]
-    cnt = np.array([COUNTER], np.uint32)
-    # fixed nonzero challenges: the logUp rows only balance when f/g columns
-    # are consistent with these exact etas
-    e1 = limb.encode([0x1234567890ABCDEF1122334455667788], FR, mont=False)
-    e2 = limb.encode([0x0FEDCBA987654321AABBCCDD11223344], FR, mont=False)
-    z = np.asarray(av.witness_canonical(variant, nb, cnt, ptb, ctb, kb, e1, e2))[0]
+
+    def solve():
+        nb = np.frombuffer(NONCE, np.uint8).astype(np.uint32)[None]
+        ptb = np.frombuffer(PT, np.uint8).astype(np.uint32)[None]
+        ctb = np.frombuffer(ct, np.uint8).astype(np.uint32)[None]
+        kb = np.frombuffer(key, np.uint8).astype(np.uint32)[None]
+        cnt = np.array([COUNTER], np.uint32)
+        # fixed nonzero challenges: the logUp rows only balance when f/g
+        # columns are consistent with these exact etas
+        e1 = limb.encode([0x1234567890ABCDEF1122334455667788], FR, mont=False)
+        e2 = limb.encode([0x0FEDCBA987654321AABBCCDD11223344], FR, mont=False)
+        return np.asarray(
+            av.witness_canonical(variant, nb, cnt, ptb, ctb, kb, e1, e2)
+        )[0]
+
+    # eager witness solve costs minutes on XLA:CPU — memoize on disk keyed
+    # by the circuit/solver/field sources (conftest.cached_witness docs)
+    from conftest import cached_witness
+
+    z = cached_witness(
+        f"aesv2-{variant}",
+        [av.__file__, limb.__file__],
+        key + ct + NONCE + PT + COUNTER.to_bytes(4, "big"),
+        solve,
+    )
     return b, limb.decode(z, FR, mont=False)  # witness limbs are canonical
 
 
@@ -102,7 +117,9 @@ def test_aes128_constraint_count(aes128_witness):
     cs = b.compile()
     assert cs.num_constraints == 45571
     assert cs.num_vars == 46844
-    assert cs.num_public == 141
+    # 141 real public inputs + 2 verifier-derived lookup challenges, which
+    # Builder.challenge() allocates as public wires (builder.py:210-217)
+    assert cs.num_public == 143
     assert len(cs.committed_vars) == 2640
     assert len(cs.challenge_vars) == 2
 
@@ -119,11 +136,16 @@ def test_aes128_tampered_multiplicity_fails(aes128_witness):
 
 
 def test_aes128_wrong_ciphertext_fails(aes128_witness):
-    b, _ = aes128_witness
-    bad_ct = bytearray(CT128)
-    bad_ct[0] ^= 1
-    _, vals = _witness_and_builder("aes-128-ctr", KEY128, bytes(bad_ct))
-    assert not b.check_witness(vals)
+    # claim a different ciphertext byte on the PUBLIC ct wire: the final
+    # keystream-xor row must reject (no re-solve needed — every other wire
+    # still carries the honest execution).  publics order: nonce(12),
+    # counter(1), pt(64), ct(64) — witness_canonical/aes_v2.define.
+    b, vals = aes128_witness
+    bad = list(vals)
+    ct0 = 1 + 12 + 1 + 64  # var index of ct byte 0 (z[0] first)
+    assert bad[ct0] == CT128[0]
+    bad[ct0] ^= 1
+    assert not b.check_witness(bad)
 
 
 @pytest.mark.slow

@@ -43,6 +43,7 @@ def _witness(b, cs, svals, pvals):
     return z
 
 
+@pytest.mark.slow
 def test_batch_matches_single(tiny):
     b, cs, pk, vk = tiny
     prover = Prover(cs, pk)

@@ -47,7 +47,17 @@ def _witness_for(key, nonce, counter, pt):
     ct = bytes(a ^ b for a, b in zip(pt, cc.words_to_bytes_le(ks[0])))
     inp = cc.bytes_to_words_be(pt)[None]
     outp = cc.bytes_to_words_be(ct)[None]
-    return np.asarray(cc.witness_bits(ctr, nw, inp, outp, kw)), ct
+    # the witness_bits XLA:CPU compile costs ~70 s; disk-memoized keyed by
+    # the circuit source (conftest.cached_witness docs)
+    from conftest import cached_witness
+
+    z = cached_witness(
+        "chachav3",
+        [cc.__file__],
+        key + nonce + counter.to_bytes(4, "big") + pt,
+        lambda: cc.witness_bits(ctr, nw, inp, outp, kw),
+    )
+    return z, ct
 
 
 def test_witness_satisfies_r1cs(builder):
@@ -70,6 +80,7 @@ def test_bad_witness_rejected(builder):
     assert not builder.check_witness(bad2)
 
 
+@pytest.mark.slow
 def test_batched_witness(builder):
     B = 4
     rng = np.random.default_rng(3)

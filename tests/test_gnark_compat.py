@@ -132,9 +132,15 @@ def test_reference_vk_parses_and_roundtrips(fname, n_ic, ncomm):
 # ----------------------------------------------------------------------- pk
 
 
+@pytest.fixture(scope="module")
+def parsed_pk():
+    # read_pk on the ~100 MB reference pk costs ~16 s; share one parse
+    return gk.read_pk(open(PK_PATH, "rb").read())
+
+
 @needs_ref
-def test_reference_pk_parses_consistently():
-    pk = gk.read_pk(open(PK_PATH, "rb").read())
+def test_reference_pk_parses_consistently(parsed_pk):
+    pk = parsed_pk
     vk = gk.read_vk(open(os.path.join(VK_DIR, "vk.chacha20"), "rb").read())
     assert pk.domain_n == 32768
     assert pk.nb_wires == 23281
@@ -184,7 +190,7 @@ def test_reference_r1cs_metadata(fname, n_constraints, n_public, n_secret, ncomm
 
 
 @needs_ref
-def test_reference_r1cs_consistent_with_pk_vk():
+def test_reference_r1cs_consistent_with_pk_vk(parsed_pk):
     """Cross-artifact consistency: wire/public counts from the r1cs must
     match the independently parsed pk (nbWires) and vk (len(ic))."""
     from zktpu.compat import gnark_r1cs as gr
@@ -192,7 +198,7 @@ def test_reference_r1cs_consistent_with_pk_vk():
     meta = gr.read_r1cs_meta(
         open(os.path.join(REF, "circuits", "generated", "r1cs.chacha20"), "rb").read()
     )
-    pk = gk.read_pk(open(PK_PATH, "rb").read())
+    pk = parsed_pk
     vk = gk.read_vk(open(os.path.join(VK_DIR, "vk.chacha20"), "rb").read())
     assert meta.nb_wires == pk.nb_wires == 23281
     assert len(vk.ic) == meta.nb_public + 1

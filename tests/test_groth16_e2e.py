@@ -39,6 +39,7 @@ def _witness(s0, s1):
     return np.array([1, t, s0, s1, t], dtype=np.uint32)
 
 
+@pytest.mark.slow
 def test_prove_verify_roundtrip(artifacts):
     builder, cs, pk, vk = artifacts
     z = _witness(1, 0)
@@ -50,6 +51,7 @@ def test_prove_verify_roundtrip(artifacts):
     assert not verify(proof, vk, [0])
 
 
+@pytest.mark.slow
 def test_all_witness_combinations(artifacts):
     builder, cs, pk, vk = artifacts
     prover = Prover(cs, pk)
@@ -61,6 +63,7 @@ def test_all_witness_combinations(artifacts):
             assert not verify(proof, vk, [1 - (s0 ^ s1)])
 
 
+@pytest.mark.slow
 def test_randomized_proofs_differ_but_verify(artifacts):
     _, cs, pk, vk = artifacts
     prover = Prover(cs, pk)
@@ -71,6 +74,7 @@ def test_randomized_proofs_differ_but_verify(artifacts):
     assert verify(p1, vk, [1]) and verify(p2, vk, [1])
 
 
+@pytest.mark.slow
 def test_tampered_proof_rejected(artifacts):
     _, cs, pk, vk = artifacts
     prover = Prover(cs, pk)

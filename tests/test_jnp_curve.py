@@ -103,14 +103,15 @@ def test_g1_madd(jitted):
 def test_g1_madd_edge_cases(jitted):
     _, _, maddf = jitted
     inf = C.infinity()
-    pe = [inf, PTS[1], PTS[2], PTS[3], inf]
-    qe = [PTS[0], inf, PTS[2], C.neg(PTS[3]), inf]
-    expect = [PTS[0], PTS[1], C.double(PTS[2]), inf, inf]
+    # padded to len(PTS)=6 so maddf reuses test_g1_madd's compiled shape
+    pe = [inf, PTS[1], PTS[2], PTS[3], inf, PTS[4]]
+    qe = [PTS[0], inf, PTS[2], C.neg(PTS[3]), inf, QTS[4]]
+    expect = [PTS[0], PTS[1], C.double(PTS[2]), inf, inf, C.add(PTS[4], QTS[4])]
     P = stack_pts([enc_jac(p) for p in pe])
     aff = jc.g1_to_limbs(qe)
     infm = jc.g1_inf_mask(qe)
     res = maddf(P, aff[:, 0], aff[:, 1], infm)
-    for i in range(5):
+    for i in range(6):
         got = jc.limbs_to_g1(tuple(np.asarray(r)[i] for r in res))
         assert C.eq(got, expect[i]), i
 

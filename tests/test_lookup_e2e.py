@@ -74,6 +74,7 @@ def _prove(builder, cs, pk, q_val):
                                 dsig_aff=ds_aff), out_val
 
 
+@pytest.mark.slow
 def test_lookup_prove_verify(artifacts):
     builder, cs, pk, vk = artifacts
     proof, out_val = _prove(builder, cs, pk, q_val=3)
@@ -85,16 +86,23 @@ def test_lookup_prove_verify(artifacts):
 
 def test_value_not_in_table_unsatisfiable(artifacts):
     """Claiming out=99 (but TABLE[3]=10): the logUp balance cannot hold for a
-    challenge derived from the commitment, so the R1CS rejects."""
+    challenge derived from the commitment, so the R1CS rejects.
+
+    Commits on the HOST (ref_ec Pedersen over pk.ck_query) — the device
+    Prover compile is exercised by the slow-tier tests in this module."""
     builder, cs, pk, vk = artifacts
-    prover = Prover(cs, pk)
+    from zktpu.curve import ref_ec as ec
+    from zktpu.groth16 import ref_prove as rp
+
     z1 = build_witness(3, 99)
-    _, z1_dig = encode_witness(z1, prover.nv_pad)
-    d_aff, _ = prover.commit(z1_dig)
+    ck_pts = rp.g1_query_points(pk.ck_query, pk.ck_inf)
+    z1p = z1 + [0] * (len(ck_pts) - len(z1))
+    d_aff = ec.G1_CURVE.to_affine(rp._msm_host(ec.G1_CURVE, ck_pts, z1p))
     z2 = build_witness(3, 99, d_aff)
     assert not builder.check_witness(z2)
 
 
+@pytest.mark.slow
 def test_forged_commitment_rejected(artifacts):
     """Tampering with D must break either PoK or the pairing equation."""
     builder, cs, pk, vk = artifacts

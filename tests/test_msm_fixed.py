@@ -34,6 +34,7 @@ def _oracle(pts, infm, scalars):
     return pp.msm_reference(live_p, live_s)
 
 
+@pytest.mark.slow
 def test_fixed_msm_matches_reference(fixed_msm):
     pts, infm, msm, rng = fixed_msm
     scalars = [int.from_bytes(rng.bytes(31), "big") % P_FR for s in range(len(pts))]
@@ -45,6 +46,7 @@ def test_fixed_msm_matches_reference(fixed_msm):
     assert ec.G1_CURVE.eq(got, _oracle(pts, infm, scalars))
 
 
+@pytest.mark.slow
 def test_fixed_msm_sparse_scalars(fixed_msm):
     """Quotient-like scalar sets: many zeros (padding tail)."""
     pts, infm, msm, rng = fixed_msm

@@ -40,6 +40,7 @@ def test_msm_tern_matches_reference(g1_points):
     assert ec.G1_CURVE.eq(got, _host_tern(pts, zt))
 
 
+@pytest.mark.slow
 def test_msm_tern_reduces_to_bits_on_binary_input(g1_points):
     pts, P, infm, rng = g1_points
     zb = rng.integers(0, 2, len(pts)).astype(np.uint32)
@@ -48,6 +49,7 @@ def test_msm_tern_reduces_to_bits_on_binary_input(g1_points):
     assert ec.G1_CURVE.eq(t, b)
 
 
+@pytest.mark.slow
 def test_msm_tern_all_negative(g1_points):
     pts, P, infm, _ = g1_points
     zt = np.full(len(pts), 2, dtype=np.uint32)

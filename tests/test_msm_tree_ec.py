@@ -39,10 +39,18 @@ def test_tree_msm_matches_reference(point_set):
     scalars[1] = int.from_bytes(b"\xff" * 31, "big")
     scalars[2:10] = [scalars[2]] * 8  # long equal-digit segments after sort
     got = _run_tree(P, infm, scalars)
-    want = pp.msm_reference(pts, scalars)
+    # oracle shortcut: pts repeats base[i % 64], so fold the 4096 scalars
+    # into 64 per-point sums mod r first (64 host scalar-muls, not 4096) —
+    # the device-side tree still sees all 4096 (point, scalar) pairs
+    base = pts[:64]
+    folded = [0] * 64
+    for i, s in enumerate(scalars):
+        folded[i % 64] = (folded[i % 64] + s) % FR.modulus
+    want = pp.msm_reference(base, folded)
     assert ec.G1_CURVE.eq(got, want)
 
 
+@pytest.mark.slow
 def test_tree_msm_with_infinity_points(point_set):
     pts, P, infm, rng = point_set
     P = P.copy()

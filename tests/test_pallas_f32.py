@@ -8,6 +8,7 @@ all the exactness risk (24-bit f32 mantissa bounds)."""
 import random
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from zktpu.curve import pallas_f32 as pf
@@ -26,6 +27,7 @@ def test_digit_codec_roundtrip():
     assert np.array_equal(np.asarray(back), u)
 
 
+@pytest.mark.slow
 def test_f32_mont_mul_interpret_fp():
     n = 128
     va = [random.randrange(FP.modulus) for _ in range(n)]
@@ -41,6 +43,7 @@ def test_f32_mont_mul_interpret_fp():
     assert got == [x * y % FP.modulus for x, y in zip(va, vb)]
 
 
+@pytest.mark.slow
 def test_f32_mont_mul_interpret_fr():
     n = 128
     va = [random.randrange(FR.modulus) for _ in range(n)]

@@ -55,6 +55,7 @@ def tern_setup():
     return cs, pk, vk
 
 
+@pytest.mark.slow
 def test_prove_tern_matches_host_reference(tern_setup):
     from zktpu.compat.bridge import witness_ternary
     from zktpu.compat.gnark import proof_to_gnark_bytes
@@ -79,6 +80,7 @@ def test_prove_tern_matches_host_reference(tern_setup):
     assert not verify(got, vk, bad)
 
 
+@pytest.mark.slow
 def test_prove_tern_reduces_to_bit_path(tern_setup):
     """On an all-binary witness the ternary path must produce the same
     proof bytes as the plain bit path."""
