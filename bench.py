@@ -64,6 +64,7 @@ def emit_and_exit(rc=0, hard=False):
     with _EMIT_LOCK:
         if not _DONE:
             _DONE = True
+            BEST.pop("_full", None)
             print(json.dumps(BEST), flush=True)
     if hard:
         os._exit(rc)  # bypass blocked main thread / atexit
@@ -71,17 +72,25 @@ def emit_and_exit(rc=0, hard=False):
 
 
 def record(metric, ms, full_prove=False):
-    """Record a stage latency as the fallback metric (later stages override
-    earlier ones; the full prove is recorded last and wins).
+    """Record a latency.  Every metric lands in BEST["stages"]; the
+    HEADLINE (metric/value/vs_baseline) is a full-prove number once one
+    exists — stage metrics only serve as the fallback headline until then
+    (round-4 regression: a post-prove stage record must never clobber the
+    measured prove latency).
 
-    vs_baseline is only meaningful against the gnark full-prove estimate, so
-    stage fallbacks carry 0.0 (ADVICE r3: a 42 ms witness stage is not
-    '4.7x faster than baseline')."""
-    BEST["metric"] = metric
-    BEST["value"] = round(ms, 3)
-    BEST["vs_baseline"] = (
-        round(GNARK_16CORE_PROVE_MS_ESTIMATE / ms, 3) if full_prove and ms > 0 else 0.0
-    )
+    vs_baseline is only meaningful against the gnark full-prove estimate,
+    so stage fallbacks carry 0.0 (ADVICE r3)."""
+    BEST.setdefault("stages", {})[metric] = round(ms, 3)
+    if full_prove:
+        if not BEST.get("_full") or ms < BEST["value"]:
+            BEST["metric"] = metric
+            BEST["value"] = round(ms, 3)
+            BEST["vs_baseline"] = round(GNARK_16CORE_PROVE_MS_ESTIMATE / ms, 3)
+            BEST["_full"] = True
+    elif not BEST.get("_full"):
+        BEST["metric"] = metric
+        BEST["value"] = round(ms, 3)
+        BEST["vs_baseline"] = 0.0
     log(f"stage metric {metric} = {ms:.2f} ms")
 
 
@@ -154,7 +163,13 @@ def main():
             json.dump(vk.to_json_dict(), f)
         log(f"keygen done ({time.time()-t0:.1f}s)")
 
+    # the FixedBaseMSM H path costs a ~14-minute cold XLA/Mosaic compile;
+    # it warms in a BACKGROUND thread while the staged-H pipeline (2-minute
+    # compiles) produces the first full-prove number.  _use_h_fixed is
+    # flipped only after the warm finishes, from the main thread.
     prover = Prover(cs, pk)
+    want_fixed_h = prover._use_h_fixed
+    prover._use_h_fixed = False
 
     # witness for a fixed vector
     key = bytes(range(32))
@@ -179,13 +194,31 @@ def main():
     zpad = prover._pad_bits(z)
     jax.block_until_ready(zpad)
 
-    # --- warm every prover stage in PARALLEL (compiles release the GIL;
-    # cold wall time = max stage compile, not the sum), then measure each
-    def warm(name, fn):
+    # --- phased, TIME-GATED schedule.  The axon remote-compile helper
+    # serializes compiles, so "warm everything in parallel" only scrambles
+    # ordering and pollutes measurements (measured round 4: a prove timed
+    # during a concurrent batch compile read 2816 ms vs 581 ms quiet).
+    # Order by value-per-compile-second; gate each phase on remaining time:
+    #   1. staged-H stage graphs (parallel among themselves, like r3)
+    #   2. stage metrics + host-assemble prove  -> headline secured
+    #   3. batch-8 throughput                   (~400-600 s compile)
+    #   4. device assemble                      (~150-300 s compile)
+    #   5. FixedBaseMSM H                       (~850 s compile, only if the
+    #      cache is warm enough that time remains)
+    deadline_ts = T0 + deadline
+
+    def remaining():
+        return deadline_ts - time.time()
+
+    def warm(name, fn, box=None):
         t = time.time()
-        out = jax.block_until_ready(fn())
-        log(f"warm {name}: {time.time()-t:.1f}s")
-        return out
+        try:
+            out = jax.block_until_ready(fn())
+            log(f"warm {name}: {time.time()-t:.1f}s")
+            if box is not None:
+                box.append(out)
+        except Exception as e:  # noqa: BLE001 — best-effort warmers
+            log(f"warm {name} FAILED: {e!r}")
 
     stages = {
         "h_scalars": lambda: prover._h_scalars(zj),
@@ -193,12 +226,8 @@ def main():
             prover._g1_stack, prover._g1_stack_inf, zpad
         ),
         "msm_b_g2": lambda: prover._msm_bits_g2(*prover._dev["b_g2_query"], zpad),
-        "msm_h": lambda: (
-            prover._msm_h_fixed(jnp.ones((prover.n, 16), jnp.uint32))
-            if prover._msm_h_fixed is not None
-            else prover._msm_g1(
-                *prover._dev["h_query"], jnp.zeros((prover.n, 16), jnp.uint32)
-            )
+        "msm_h": lambda: prover._msm_g1(
+            *prover._dev["h_query"], jnp.zeros((prover.n, 16), jnp.uint32)
         ),
     }
     threads = [
@@ -209,7 +238,7 @@ def main():
         th.start()
     for th in threads:
         th.join()
-    log("parallel stage warmup done")
+    log("staged-H stage warmup done")
 
     def stage(name, fn):
         t = time.time()
@@ -218,72 +247,87 @@ def main():
         return out
 
     h = stage("h_scalars", lambda: prover._h_scalars(zj))
-    g1x3 = stage(
+    stage(
         "msm_g1x3",
         lambda: prover._msm_bits_g1x3(prover._g1_stack, prover._g1_stack_inf, zpad),
     )
     stage("msm_b_g2", lambda: prover._msm_bits_g2(*prover._dev["b_g2_query"], zpad))
-    stage(
-        "msm_h",
-        lambda: (
-            prover._msm_h_fixed(h)
-            if prover._msm_h_fixed is not None
-            else prover._msm_g1(*prover._dev["h_query"], h)
-        ),
-    )
+    stage("msm_h", lambda: prover._msm_g1(*prover._dev["h_query"], h))
 
     runs = int(os.environ.get("BENCH_RUNS", "5"))
 
-    # --- full prove, HOST assembly first: no assemble-graph compile, so a
-    # real end-to-end prove latency is recorded before the big compile risk
+    def measure_prove(tag, **kw):
+        t0 = time.time()
+        prover.prove(z, rng_seed=b"warmup-%s" % tag, **kw)  # residual compile
+        log(f"warmup prove ({tag.decode()}): {time.time()-t0:.1f}s")
+        t0 = time.time()
+        for i in range(runs):
+            prover.prove(z, rng_seed=b"bench-%s%d" % (tag, i), **kw)
+        ms = (time.time() - t0) / runs * 1000.0
+        log(f"prove latency ({tag.decode()}): {ms:.1f} ms/proof over {runs} runs")
+        return ms
+
+    # --- phase 2: headline number, HOST assembly + staged H (no compile risk)
     prover.assemble_on_host = True
-    t0 = time.time()
-    prover.prove(z, rng_seed=b"warmup-host")
-    log(f"warmup host-assemble prove: {time.time()-t0:.1f}s")
-    t0 = time.time()
-    for i in range(runs):
-        prover.prove(z, rng_seed=b"bench-host%d" % i)
-    host_ms = (time.time() - t0) / runs * 1000.0
-    record("chacha20_prove_ms", host_ms, full_prove=True)
-    log(f"prove latency (host assemble): {host_ms:.1f} ms/proof over {runs} runs")
+    best_ms = measure_prove(b"host-staged")
+    record("chacha20_prove_ms", best_ms, full_prove=True)
 
-    # batched throughput (DP axis) FIRST — the v5e-8 story's number; the
-    # device-assemble compile gamble runs last so a deadline can only cost
-    # the least-informative stage (measured: device assemble is not faster
-    # than host assemble on the tunneled chip).  Reported
-    # under its OWN name as a side field — chacha20_prove_ms stays strictly
-    # the single-proof latency (ADVICE r3 medium).
-    try:
-        bsz = int(os.environ.get("BENCH_BATCH", "8"))
-        zb = np.stack([np.asarray(z)] * bsz)
-        seeds = [b"bench-batch%d" % i for i in range(bsz)]
-        t0 = time.time()
-        prover.prove_batch(zb, seeds)  # compile
-        log(f"batch{bsz} prove compile+run: {time.time()-t0:.1f}s")
-        t0 = time.time()
-        prover.prove_batch(zb, seeds)
-        batch_s = time.time() - t0
-        amort = batch_s / bsz * 1000.0
-        log(
-            f"batch{bsz} prove: {batch_s*1000:.1f} ms total = "
-            f"{bsz/batch_s:.2f} proofs/s ({amort:.1f} ms/proof)"
-        )
-        BEST["chacha20_prove_ms_batch%d_amortized" % bsz] = round(amort, 3)
-    except Exception as e:  # noqa: BLE001 — throughput stage is best-effort
-        log("batch prove failed:", repr(e))
+    # --- phase 3: batch-8 throughput (the v5e story's number)
+    bsz = int(os.environ.get("BENCH_BATCH", "8"))
+    if remaining() > 420:
+        try:
+            zb = np.stack([np.asarray(z)] * bsz)
+            seeds = [b"bench-batch%d" % i for i in range(bsz)]
+            t0 = time.time()
+            prover.prove_batch(zb, seeds)  # compile
+            log(f"batch{bsz} prove compile+run: {time.time()-t0:.1f}s")
+            t0 = time.time()
+            prover.prove_batch(zb, seeds)
+            batch_s = time.time() - t0
+            amort = batch_s / bsz * 1000.0
+            log(
+                f"batch{bsz} prove: {batch_s*1000:.1f} ms total = "
+                f"{bsz/batch_s:.2f} proofs/s ({amort:.1f} ms/proof)"
+            )
+            BEST["chacha20_prove_ms_batch%d_amortized" % bsz] = round(amort, 3)
+        except Exception as e:  # noqa: BLE001 — throughput stage best-effort
+            log("batch prove failed:", repr(e))
+    else:
+        log(f"SKIP batch{bsz}: {remaining():.0f}s left < 420s budget")
 
-    # --- device assembly (the production TPU path: one packed transfer)
-    prover.assemble_on_host = False
-    t0 = time.time()
-    prover.prove(z, rng_seed=b"warmup-dev")
-    log(f"warmup device-assemble prove: {time.time()-t0:.1f}s")
-    t0 = time.time()
-    for i in range(runs):
-        prover.prove(z, rng_seed=b"bench%d" % i)
-    per_proof_ms = (time.time() - t0) / runs * 1000.0
-    log(f"prove latency: {per_proof_ms:.1f} ms/proof over {runs} runs")
-    if per_proof_ms < host_ms:
-        record("chacha20_prove_ms", per_proof_ms, full_prove=True)
+    # --- phase 4: device assembly (one packed transfer per proof)
+    if remaining() > 280:
+        warm("device_assemble",
+             lambda: prover.prove(z, rng_seed=b"warmup-dev",
+                                  assemble_on_host=False))
+        ms = measure_prove(b"dev", assemble_on_host=False)
+        record("chacha20_prove_ms_device_assemble", ms)
+        if ms < best_ms:
+            best_ms = ms
+            record("chacha20_prove_ms", ms, full_prove=True)
+    else:
+        log(f"SKIP device assemble: {remaining():.0f}s left < 280s budget")
+
+    # --- phase 5: FixedBaseMSM H (biggest compile; needs a warm cache)
+    if want_fixed_h and remaining() > 880:
+        from zktpu.msm import pippenger as pp
+
+        try:
+            t0 = time.time()
+            inst = pp.FixedBaseMSM(pk.h_query, pk.h_inf)
+            jax.block_until_ready(inst(jnp.ones((prover.n, 16), jnp.uint32)))
+            log(f"warm fixed_h: {time.time()-t0:.1f}s")
+            prover._msm_h_fixed_inst = inst
+            prover._use_h_fixed = True
+            stage("msm_h_fixed", lambda: prover._msm_h_fixed(h))
+            ms = measure_prove(b"host-fixedh")
+            if ms < best_ms:
+                best_ms = ms
+                record("chacha20_prove_ms", ms, full_prove=True)
+        except Exception as e:  # noqa: BLE001 — best-effort improvement
+            log("fixed-base H failed:", repr(e))
+    elif want_fixed_h:
+        log(f"SKIP fixed-base H: {remaining():.0f}s left < 880s budget")
 
     from zktpu.utils import metrics
 

@@ -211,3 +211,37 @@ def test_ffi_full_roundtrip(libzkprove, chacha_service):
         }
     ).encode()
     assert lib.Verify(vreq, len(vreq)) == 1
+
+
+@pytest.mark.slow
+def test_prove_many_batch_e2e(chacha_service):
+    """Batch service surface (DP axis through the product API): 2 requests
+    -> one vmapped prove_batch dispatch; every response verifies."""
+    service = chacha_service
+    key = bytes(range(32))
+    nonce = bytes.fromhex("000000090000004a00000000")
+    reqs = [
+        {
+            "key": base64.b64encode(key).decode(),
+            "nonce": base64.b64encode(nonce).decode(),
+            "counter": c,
+            "input": base64.b64encode(bytes([c] * 64)).decode(),
+        }
+        for c in (1, 2)
+    ]
+    out = json.loads(
+        service.prove_many(
+            json.dumps({"cipher": "chacha20", "requests": reqs}).encode()
+        )
+    )
+    assert len(out["responses"]) == 2
+    for c, resp in zip((1, 2), out["responses"]):
+        ct = service._decode_bytes(resp["publicSignals"])
+        ver = {
+            "cipher": "chacha20",
+            "proof": resp["proof"]["proofJson"],
+            "publicSignals": base64.b64encode(
+                _public_signals(ct, nonce, c, bytes([c] * 64))
+            ).decode(),
+        }
+        assert service.verify(json.dumps(ver).encode())

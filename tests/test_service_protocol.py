@@ -117,3 +117,47 @@ def test_init_rejects_mismatched_pk_r1cs():
         service._PROVERS.pop("chacha20", None)
         if saved is not None:
             service._PROVERS["chacha20"] = saved
+
+
+def test_prove_many_protocol_routing():
+    """prove_many JSON contract: batch path used when the service has one,
+    per-item fallback otherwise; per-item wire format matches prove()."""
+
+    class FakeBatch:
+        calls = []
+
+        def prove(self, key, nonce, counter, inp):
+            FakeBatch.calls.append("single")
+            return b"P" + bytes([counter]), b"C" * 4
+
+        def prove_many(self, reqs):
+            FakeBatch.calls.append(("batch", len(reqs)))
+            return [(b"P" + bytes([c]), b"C" * 4) for _, _, c, _ in reqs]
+
+    saved = service._PROVERS.get("chacha20")
+    service._PROVERS["chacha20"] = FakeBatch()
+    try:
+        req = {
+            "cipher": "chacha20",
+            "requests": [
+                {"key": "", "nonce": "", "counter": i, "input": ""}
+                for i in range(3)
+            ],
+        }
+        out = json.loads(service.prove_many(json.dumps(req).encode()))
+        assert FakeBatch.calls == [("batch", 3)]
+        assert len(out["responses"]) == 3
+        for i, r in enumerate(out["responses"]):
+            assert service._decode_bytes(r["proof"]["proofJson"]) == b"P" + bytes([i])
+            assert service._decode_bytes(r["publicSignals"]) == b"CCCC"
+        # single-request calls fall back to the per-item path
+        FakeBatch.calls.clear()
+        req["requests"] = req["requests"][:1]
+        out = json.loads(service.prove_many(json.dumps(req).encode()))
+        assert FakeBatch.calls == ["single"]
+        assert len(out["responses"]) == 1
+    finally:
+        if saved is not None:
+            service._PROVERS["chacha20"] = saved
+        else:
+            service._PROVERS.pop("chacha20", None)

@@ -453,19 +453,215 @@ def miller_loop(q12: Point, p12: Point) -> Fp12:
 FINAL_EXP = (P**12 - 1) // R_ORDER
 
 
+# ------------------------------------------------- fast pairing (Fp2 lines)
+#
+# The Fp12-embedded loop above is the readable oracle; the production
+# verifier path below is the standard optimal-ate layout (the one gnark's
+# verifier latency comes from, [dep] gnark-crypto bn254 pairing):
+#   * Miller loop in AFFINE Fp2 twist coordinates (line slope = one Fp2
+#     inversion per step, not an Fp12 to_affine per step);
+#   * a line evaluates to the SPARSE element yp + (-lam*xp) w + (lam*X-Y) w^3
+#     — multiplied in with a dedicated ~12-Fp2-mul routine;
+#   * the per-Q line coefficients depend only on Q: G2Prepared precomputes
+#     them once (vk gamma/delta/sigma/G2 are fixed per key);
+#   * final exponentiation = easy part + the Devegili-Scott BN hard-part
+#     addition chain over 3 exp-by-x (63-bit), not a blind 3000-bit pow.
+#     (Pinned against pow(FINAL_EXP) by tests/test_pairing_fast.py.)
+
+
+def _fp2_pow(a: Fp2, e: int) -> Fp2:
+    acc, base = Fp2.one(), a
+    while e:
+        if e & 1:
+            acc = acc * base
+        base = base.sqr()
+        e >>= 1
+    return acc
+
+
+# gamma[k][i] = xi^(i*(p^k-1)/6): the w^i Frobenius multipliers, k = 1..3
+_FROB_GAMMA = {
+    k: [_fp2_pow(XI, i * (P**k - 1) // 6) for i in range(6)] for k in (1, 2, 3)
+}
+# twisted-endomorphism multipliers: (X w^2)^p = conj(X) gamma[1][2] w^2 etc.
+_TW_BETA_X = _FROB_GAMMA[1][2]  # xi^((p-1)/3)
+_TW_BETA_Y = _FROB_GAMMA[1][3]  # xi^((p-1)/2)
+
+
+def _fp12_coeffs(f: Fp12):
+    """Tower -> w-basis [c_0..c_5] over Fp2 (w^2 = v, w^6 = xi)."""
+    return [f.c0.c0, f.c1.c0, f.c0.c1, f.c1.c1, f.c0.c2, f.c1.c2]
+
+
+def _fp12_from_coeffs(c) -> Fp12:
+    return Fp12(Fp6(c[0], c[2], c[4]), Fp6(c[1], c[3], c[5]))
+
+
+def frobenius(f: Fp12, k: int = 1) -> Fp12:
+    g = _FROB_GAMMA[k]
+    cs = _fp12_coeffs(f)
+    out = []
+    for i, c in enumerate(cs):
+        cc = c.conj() if k & 1 else c
+        out.append(cc if i == 0 else cc * g[i])
+    return _fp12_from_coeffs(out)
+
+
+def fp12_sqr(f: Fp12) -> Fp12:
+    """(c0 + c1 w)^2 via complex squaring: 2 Fp6 muls (vs 3 for mul)."""
+    c0, c1 = f.c0, f.c1
+    t = c0 * c1
+    c0p = (c0 + c1) * (c0 + c1.mul_by_v()) - t - t.mul_by_v()
+    return Fp12(c0p, t + t)
+
+
+def _exp_by_x(f: Fp12) -> Fp12:
+    acc, base, e = Fp12.one(), f, BN254_X
+    while e:
+        if e & 1:
+            acc = acc * base
+        base = fp12_sqr(base)
+        e >>= 1
+    return acc
+
+
+def final_exponentiation(f: Fp12) -> Fp12:
+    # easy part: f^((p^6-1)(p^2+1))
+    f1 = f.conj() * f.inv()
+    m = frobenius(f1, 2) * f1
+    # hard part (Devegili et al. BN addition chain)
+    fx = _exp_by_x(m)
+    fx2 = _exp_by_x(fx)
+    fx3 = _exp_by_x(fx2)
+    y0 = frobenius(m, 1) * frobenius(m, 2) * frobenius(m, 3)
+    y1 = m.conj()
+    y2 = frobenius(fx2, 2)
+    y3 = frobenius(fx, 1).conj()
+    y4 = (fx * frobenius(fx2, 1)).conj()
+    y5 = fx2.conj()
+    y6 = (fx3 * frobenius(fx3, 1)).conj()
+    t0 = fp12_sqr(y6) * y4 * y5
+    t1 = y3 * y5 * t0
+    t0 = t0 * y2
+    t1 = fp12_sqr(fp12_sqr(t1) * t0)
+    t0 = t1 * y1
+    t1 = t1 * y0
+    t0 = fp12_sqr(t0)
+    return t0 * t1
+
+
+def _fp6_mul_01(x: Fp6, b0: Fp2, b1: Fp2) -> Fp6:
+    """x * (b0 + b1 v)."""
+    a0, a1, a2 = x.c0, x.c1, x.c2
+    t0 = a0 * b0
+    t1 = a1 * b1
+    c0 = t0 + XI * (a2 * b1)
+    c1 = (a0 + a1) * (b0 + b1) - t0 - t1
+    c2 = a2 * b0 + t1
+    return Fp6(c0, c1, c2)
+
+
+def _mul_line(f: Fp12, a: int, b: Fp2, c: Fp2) -> Fp12:
+    """f * (a + b w + c w^3) with a in Fp — the Miller line sparsity."""
+    f0, f1 = f.c0, f.c1
+    t0 = Fp6(f0.c0 * a, f0.c1 * a, f0.c2 * a)
+    t1 = _fp6_mul_01(f1, b, c)
+    cross = _fp6_mul_01(f0 + f1, Fp2(b.c0 + a, b.c1), c)
+    return Fp12(t0 + t1.mul_by_v(), cross - t0 - t1)
+
+
+class _DegeneratePair(Exception):
+    """T = +-Q inside the ate loop — fall back to the Fp12 oracle loop."""
+
+
+class G2Prepared:
+    """Per-Q Miller line coefficients (lam, X_T, Y_T) — Q-only work done
+    once; verify-time cost is line EVALUATION at P plus sparse muls.  The
+    vk's gamma/delta/sigma/G2 pairs reuse one instance across verifies."""
+
+    def __init__(self, q: Point):
+        aff = G2_CURVE.to_affine(q)
+        self.inf = aff is None
+        self.coeffs: list = []
+        if self.inf:
+            return
+        X, Y = aff
+        t = (X, Y)
+        for i in range(ATE_LOOP_COUNT.bit_length() - 2, -1, -1):
+            t = self._dbl(t)
+            if (ATE_LOOP_COUNT >> i) & 1:
+                t = self._add(t, (X, Y))
+        q1 = (X.conj() * _TW_BETA_X, Y.conj() * _TW_BETA_Y)
+        q2 = (q1[0].conj() * _TW_BETA_X, q1[1].conj() * _TW_BETA_Y)
+        nq2 = (q2[0], -q2[1])
+        t = self._add(t, q1)
+        self._add(t, nq2)
+
+    def _dbl(self, t):
+        X, Y = t
+        lam = (X.sqr() * 3) * (Y + Y).inv()
+        self.coeffs.append((lam, X, Y))
+        x3 = lam.sqr() - X - X
+        return (x3, lam * (X - x3) - Y)
+
+    def _add(self, t, q):
+        x1, y1 = t
+        x2, y2 = q
+        if (x2 - x1).is_zero():
+            raise _DegeneratePair()
+        lam = (y2 - y1) * (x2 - x1).inv()
+        self.coeffs.append((lam, x1, y1))
+        x3 = lam.sqr() - x1 - x2
+        return (x3, lam * (x1 - x3) - y1)
+
+
+def miller_loop_prepared(prep: G2Prepared, p_aff) -> Fp12:
+    xp, yp = p_aff
+    nxp = P - (xp % P)
+    it = iter(prep.coeffs)
+    f = Fp12.one()
+
+    def line(f):
+        lam, X, Y = next(it)
+        return _mul_line(f, yp, lam * nxp, lam * X - Y)
+
+    for i in range(ATE_LOOP_COUNT.bit_length() - 2, -1, -1):
+        f = line(fp12_sqr(f))
+        if (ATE_LOOP_COUNT >> i) & 1:
+            f = line(f)
+    f = line(f)
+    f = line(f)
+    return f
+
+
 def pairing(p: Point, q: Point) -> Fp12:
     """e(P in G1, Q in G2) with full final exponentiation."""
-    return miller_loop(twist_to_fp12(q), g1_to_fp12(p)).pow(FINAL_EXP)
+    if G1_CURVE._is_inf(p) or G2_CURVE._is_inf(q):
+        return Fp12.one()
+    try:
+        prep = q if isinstance(q, G2Prepared) else G2Prepared(q)
+        f = miller_loop_prepared(prep, G1_CURVE.to_affine(p))
+    except _DegeneratePair:
+        f = miller_loop(twist_to_fp12(q), g1_to_fp12(p))
+    return final_exponentiation(f)
 
 
 def multi_pairing_is_one(pairs) -> bool:
-    """prod e(Pi, Qi) == 1, sharing one final exponentiation."""
+    """prod e(Pi, Qi) == 1, sharing one final exponentiation.
+
+    Qi may be a G2 Point or an already-built G2Prepared."""
     f = Fp12.one()
     for p, q in pairs:
-        if G1_CURVE._is_inf(p) or G2_CURVE._is_inf(q):
+        prep = q if isinstance(q, G2Prepared) else None
+        if G1_CURVE._is_inf(p) or (prep.inf if prep else G2_CURVE._is_inf(q)):
             continue
-        f = f * miller_loop(twist_to_fp12(q), g1_to_fp12(p))
-    return f.pow(FINAL_EXP).is_one()
+        try:
+            if prep is None:
+                prep = G2Prepared(q)
+            f = f * miller_loop_prepared(prep, G1_CURVE.to_affine(p))
+        except _DegeneratePair:
+            f = f * miller_loop(twist_to_fp12(q), g1_to_fp12(p))
+    return final_exponentiation(f).is_one()
 
 
 # ----------------------------------------------------- fixed-base multiscalar

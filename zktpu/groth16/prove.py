@@ -464,7 +464,9 @@ class Prover:
         return out
 
     def _assemble(self, a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed,
-                  d_aff=None, dsig_aff=None) -> Proof:
+                  d_aff=None, dsig_aff=None, on_host=None) -> Proof:
+        if on_host is None:
+            on_host = self.assemble_on_host
         if rng_seed is None:
             r = _secrets.randbelow(P_FR)
             s = _secrets.randbelow(P_FR)
@@ -473,7 +475,7 @@ class Prover:
 
             r, s = derive_rs(rng_seed)
 
-        if self.assemble_on_host:
+        if on_host:
             from . import ref_prove
 
             def host(t):
@@ -532,9 +534,13 @@ class Prover:
             d_sigma=dsig_aff,
         )
 
-    def prove(self, zbits: np.ndarray, rng_seed: bytes | None = None) -> Proof:
+    def prove(self, zbits: np.ndarray, rng_seed: bytes | None = None,
+              assemble_on_host: bool | None = None) -> Proof:
         """Bit-witness fast path (ChaChaV3: every wire is 0/1).
         zbits: (num_vars,) uint32 full witness (z[0] = 1 included).
+        assemble_on_host overrides the instance default for THIS call only
+        (lets bench warm the device-assemble graph from a thread without
+        racing other callers on self.assemble_on_host).
 
         Stages are dispatched WITHOUT intermediate device syncs (the whole
         chain resolves at the final packed-proof transfer); per-stage
@@ -569,7 +575,8 @@ class Prover:
             else:
                 h_msm = sync(self._msm_g1(*self._dev["h_query"], h_digits))
         with stage("prove.assemble"):
-            return self._assemble(a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed)
+            return self._assemble(a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed,
+                                  on_host=assemble_on_host)
 
     def prove_batch(self, zbits_batch: np.ndarray, rng_seeds) -> list:
         """Data-parallel proving (SURVEY §2.3 DP axis): B independent bit
@@ -672,7 +679,8 @@ class Prover:
         cs = self.cs
         return list(cs.a_coeffs) + list(cs.b_coeffs) + list(cs.c_coeffs)
 
-    def prove_tern(self, zt: np.ndarray, rng_seed: bytes | None = None) -> Proof:
+    def prove_tern(self, zt: np.ndarray, rng_seed: bytes | None = None,
+                   assemble_on_host: bool | None = None) -> Proof:
         """Ternary-witness fast path: zt (num_vars,) uint32 in {0,1,2}
         encoding {0,+1,-1}.  Same stage structure and per-stage cost as
         prove() — the sign only flips y coordinates inside the MSM fold."""
@@ -700,7 +708,8 @@ class Prover:
             else:
                 h_msm = sync(self._msm_g1(*self._dev["h_query"], h_digits))
         with stage("prove.assemble"):
-            return self._assemble(a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed)
+            return self._assemble(a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed,
+                                  on_host=assemble_on_host)
 
     # ---------------------------------------------- general/lookup witness
     def commit(self, z_digits: np.ndarray):

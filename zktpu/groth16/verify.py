@@ -32,6 +32,24 @@ def _g2_point(aff):
     )
 
 
+def _prepared(vk: VerifyingKey):
+    """Per-vk pairing precompute, cached on the vk object: G2Prepared line
+    coefficients for the FIXED second arguments (beta/gamma/delta/sigma/G2)
+    — the verifier-latency trick gnark's PreparedVerifyingKey plays."""
+    prep = getattr(vk, "_pairing_prep", None)
+    if prep is None:
+        prep = {
+            "beta": ec.G2Prepared(_g2_point(vk.beta_g2)),
+            "gamma": ec.G2Prepared(_g2_point(vk.gamma_g2)),
+            "delta": ec.G2Prepared(_g2_point(vk.delta_g2)),
+            "g2": ec.G2Prepared(ec.G2_GEN),
+        }
+        if vk.sigma_g2 is not None:
+            prep["sigma"] = ec.G2Prepared(_g2_point(vk.sigma_g2))
+        vk._pairing_prep = prep
+    return prep
+
+
 def verify(proof: Proof, vk: VerifyingKey, public_inputs: list[int]) -> bool:
     """public_inputs: the instance values z[1..] (z[0]=1 is implicit).
 
@@ -66,10 +84,11 @@ def verify(proof: Proof, vk: VerifyingKey, public_inputs: list[int]) -> bool:
             ):
                 return False
             # proof of knowledge: e(D, sigma*G2) * e(-D_sigma, G2) == 1
+            prep = _prepared(vk)
             if not ec.multi_pairing_is_one(
                 [
-                    (d_pt, _g2_point(vk.sigma_g2)),
-                    (ec.G1_CURVE.neg(ds_pt), ec.G2_GEN),
+                    (d_pt, prep["sigma"]),
+                    (ec.G1_CURVE.neg(ds_pt), prep["g2"]),
                 ]
             ):
                 return False
@@ -86,12 +105,13 @@ def verify(proof: Proof, vk: VerifyingKey, public_inputs: list[int]) -> bool:
             )
         if d_pt is not None:
             vk_x = ec.G1_CURVE.add(vk_x, d_pt)
+        prep = _prepared(vk)
         return ec.multi_pairing_is_one(
             [
                 (ec.G1_CURVE.neg(a), b),
-                (_g1_point(vk.alpha_g1), _g2_point(vk.beta_g2)),
-                (vk_x, _g2_point(vk.gamma_g2)),
-                (c, _g2_point(vk.delta_g2)),
+                (_g1_point(vk.alpha_g1), prep["beta"]),
+                (vk_x, prep["gamma"]),
+                (c, prep["delta"]),
             ]
         )
     except (ValueError, TypeError, ZeroDivisionError):

@@ -246,14 +246,18 @@ class Builder:
         """Emit the logUp constraints:  sum_i 1/(a - (q_i + b*out_i)) ==
         sum_j m_j/(a - (j + b*T_j))  per table, with committed q/out/m."""
         for table in self.tables:
-            f_sum = {}
+            # f/g sums accumulate IN PLACE: every term is a distinct fresh
+            # var with coefficient 1, so one dict insert each (lc_add would
+            # copy the accumulator per term — quadratic at 65536-entry
+            # tables like chacha_v1's XOR8)
+            f_sum: dict = {}
             for q, out_v in table.queries:
                 prod = self.mul(beta, lc_var(out_v))  # b*out (1 constraint)
                 f = self.aux(1)[0]
                 denom = lc_sub(alpha, lc_add(q, prod))
                 self.constrain(denom, lc_var(f), lc_const(1))
-                f_sum = lc_add(f_sum, lc_var(f))
-            g_sum = {}
+                f_sum[f] = 1
+            g_sum: dict = {}
             for j, tv in enumerate(table.values):
                 m = self.aux(1)[0]
                 self.mark_committed(m)
@@ -261,7 +265,7 @@ class Builder:
                 # a - j - b*T_j is linear (j, T_j constants)
                 denom = lc_sub(alpha, lc_add(lc_const(j), lc_scale(beta, tv)))
                 self.constrain(denom, lc_var(g), lc_var(m))
-                g_sum = lc_add(g_sum, lc_var(g))
+                g_sum[g] = 1
             self.assert_eq(f_sum, g_sum)
 
     # -------------------------------------------------------------- compile
