@@ -139,6 +139,14 @@ def parsed_pk():
 
 
 @needs_ref
+def test_reference_pk_writer_roundtrips_byte_exact(parsed_pk):
+    """write_pk is the full inverse of read_pk on the reference's own
+    artifact — our artifacts are WRITABLE as gnark pk files (C12)."""
+    raw = open(PK_PATH, "rb").read()
+    assert gk.write_pk(parsed_pk) == raw
+
+
+@needs_ref
 def test_reference_pk_parses_consistently(parsed_pk):
     pk = parsed_pk
     vk = gk.read_vk(open(os.path.join(VK_DIR, "vk.chacha20"), "rb").read())

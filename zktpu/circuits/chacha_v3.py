@@ -48,29 +48,41 @@ def _qr(b, st, i, j, k, l):
     st[i], st[j], st[k], st[l] = a_, b_, c_, d_
 
 
-def define(b, double_rounds: int = 10):
+def define(b, double_rounds: int = 10, blocks: int = 1):
     """The circuit body, backend-polymorphic (runs for synth AND witness).
 
     double_rounds: 10 = the production RFC 7539 circuit; smaller values
     give structurally-identical SLICES (used by the multichip dryrun to
     mesh-prove a >=4k-constraint chacha at a compile budget the virtual
-    CPU mesh can afford)."""
+    CPU mesh can afford).
+
+    blocks: plaintext length per proof in 64-byte units — the domain analog
+    of sequence length (SURVEY.md §5 "long-context"): more blocks = a
+    bigger quotient domain and MSMs per proof, the axis the mesh shards.
+    The production service keeps the reference's Blocks=1 (circuit.go:9);
+    the per-block counter increment the reference leaves commented out
+    (circuit.go:62-63) is implemented here because multi-block CTR is
+    meaningless without it."""
     counter = b.pub_word()
     nonce = [b.pub_word() for _ in range(3)]
-    inp = [b.pub_word() for _ in range(16)]
-    out = [b.pub_word() for _ in range(16)]
+    inp = [b.pub_word() for _ in range(16 * blocks)]
+    out = [b.pub_word() for _ in range(16 * blocks)]
     key = [b.sec_word() for _ in range(8)]
 
-    state = [b.const_word(c) for c in CHACHA_CONSTS] + key + [counter] + nonce
-    work = list(state)
-    for _ in range(double_rounds):
-        for idx in QR_SCHEDULE:
-            _qr(b, work, *idx)
-    final = [b.add32(state[i], work[i]) for i in range(16)]
-    keystream = [b.repack_lsb(w) for w in final]
-    ct = [b.xor32(inp[i], keystream[i]) for i in range(16)]
-    for i in range(16):
-        b.assert_words_equal(out[i], ct[i])
+    ctr = counter
+    for blk in range(blocks):
+        state = [b.const_word(c) for c in CHACHA_CONSTS] + key + [ctr] + nonce
+        work = list(state)
+        for _ in range(double_rounds):
+            for idx in QR_SCHEDULE:
+                _qr(b, work, *idx)
+        final = [b.add32(state[i], work[i]) for i in range(16)]
+        keystream = [b.repack_lsb(w) for w in final]
+        ct = [b.xor32(inp[16 * blk + i], keystream[i]) for i in range(16)]
+        for i in range(16):
+            b.assert_words_equal(out[16 * blk + i], ct[i])
+        if blk + 1 < blocks:
+            ctr = b.add32(ctr, b.const_word(1))
 
 
 # ------------------------------------------------------------- synth backend
@@ -119,9 +131,9 @@ class SynthBackend:
             self.builder.assert_eq(a[i], b[i])
 
 
-def synthesize(double_rounds: int = 10):
+def synthesize(double_rounds: int = 10, blocks: int = 1):
     b = SynthBackend()
-    define(b, double_rounds)
+    define(b, double_rounds, blocks)
     return b.builder
 
 
@@ -147,8 +159,8 @@ class EvalBackend:
         self._inputs = (
             [counter]
             + [nonce[..., i] for i in range(3)]
-            + [inp[..., i] for i in range(16)]
-            + [out[..., i] for i in range(16)]
+            + [inp[..., i] for i in range(inp.shape[-1])]
+            + [out[..., i] for i in range(out.shape[-1])]
             + [key[..., i] for i in range(8)]
         )
         self._cursor = 0
@@ -235,13 +247,14 @@ def _index_map(schedule, n_words: int) -> np.ndarray:
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("double_rounds",))
-def witness_bits(counter, nonce, inp, out, key, double_rounds: int = 10):
+@functools.partial(jax.jit, static_argnames=("double_rounds", "blocks"))
+def witness_bits(counter, nonce, inp, out, key, double_rounds: int = 10,
+                 blocks: int = 1):
     """Run the circuit over batched word inputs; return (batch, num_vars)
     uint32 0/1 witness (z[0]=1 included), in variable-index order."""
     eb = EvalBackend(counter, nonce, inp, out, key)
     b = _ConstLift(eb, counter.shape)
-    define(b, double_rounds)
+    define(b, double_rounds, blocks)
     W = jnp.stack(eb.words, axis=-1)  # (B, E)
     bits = _unpack32(W).reshape(counter.shape + (len(eb.words) * BITS,))
     flat = jnp.concatenate([bits, jnp.stack(eb.carries, axis=-1)], axis=-1)

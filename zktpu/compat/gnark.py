@@ -400,6 +400,54 @@ class GnarkProvingKey:
     commitment_basis_exp_sigma: list = dataclasses.field(default_factory=list)
 
 
+def write_pk(pk: GnarkProvingKey) -> bytes:
+    """GnarkProvingKey -> gnark pk.WriteTo bytes (inverse of read_pk;
+    round-trips the reference's own pk.chacha20 byte-exactly —
+    tests/test_gnark_compat.py).  The reader drops the domain's derived
+    inverses; they are recomputed here (cardinality/generator/coset
+    inverses mod r), and withPrecompute serializes as 1 the way gnark's
+    domain WriteTo emits it (no twiddle payload follows either way)."""
+    n = pk.domain_n
+    out = [
+        struct.pack(">Q", n),
+        pow(n, -1, P_FR).to_bytes(32, "big"),
+        pk.fr_generator.to_bytes(32, "big"),
+        pow(pk.fr_generator, -1, P_FR).to_bytes(32, "big"),
+        pk.coset_gen.to_bytes(32, "big"),
+        pow(pk.coset_gen, -1, P_FR).to_bytes(32, "big"),
+        b"\x01",  # withPrecompute
+        g1_compress(pk.alpha_g1),
+        g1_compress(pk.beta_g1),
+        g1_compress(pk.delta_g1),
+    ]
+    a_comp = [p for p in pk.a if p is not None]
+    b_comp = [p for p in pk.b1 if p is not None]
+    b2_comp = [p for p in pk.b2 if p is not None]
+    for lst in (a_comp, b_comp, pk.z, pk.k):
+        out.append(struct.pack(">I", len(lst)))
+        out += [g1_compress(p) for p in lst]
+    out.append(g2_compress(pk.beta_g2))
+    out.append(g2_compress(pk.delta_g2))
+    out.append(struct.pack(">I", len(b2_comp)))
+    out += [g2_compress(p) for p in b2_comp]
+    inf_a = bytes(1 if p is None else 0 for p in pk.a)
+    inf_b = bytes(1 if p is None else 0 for p in pk.b1)
+    out.append(struct.pack(">Q", pk.nb_wires))
+    out.append(struct.pack(">Q", sum(inf_a)))
+    out.append(struct.pack(">Q", sum(inf_b)))
+    out.append(inf_a)
+    out.append(inf_b)
+    out.append(struct.pack(">I", len(pk.commitment_basis)))
+    for basis, basis_sigma in zip(
+        pk.commitment_basis, pk.commitment_basis_exp_sigma
+    ):
+        out.append(struct.pack(">I", len(basis)))
+        out += [g1_compress(p) for p in basis]
+        out.append(struct.pack(">I", len(basis_sigma)))
+        out += [g1_compress(p) for p in basis_sigma]
+    return b"".join(out)
+
+
 def read_pk(data: bytes) -> GnarkProvingKey:
     r = _Reader(data)
     n = r.u64()
