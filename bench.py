@@ -13,14 +13,15 @@ round 3's first attempt):
     pending and no JSON emitted);
   * the repo ships a prebuilt TPU compile cache (artifacts/jax_cache_tpu/,
     produced by running this very harness) that is seeded into the active
-    persistent-cache dir — on a cache hit every stage compile is a ~1-2 s
-    deserialization instead of 30-600 s of XLA/Mosaic work;
-  * stage warmups run in PARALLEL THREADS so cold-compile wall time is the
-    max, not the sum (jit compiles release the GIL);
-  * every stage records its latency as a fallback metric the moment it
-    completes, and a full prove with HOST assembly (no assemble-graph
-    compile) is measured before the device-assemble path is even warmed —
-    a real chacha20_prove_ms exists early in the run.
+    persistent-cache dir (axon executables reload only partially — budget
+    for ~2-3x speedups, not hits);
+  * the schedule is PHASED and TIME-GATED (the axon remote-compile helper
+    serializes compiles, so parallelism only helps within a phase): staged
+    stage graphs -> host-assemble headline -> device assembly -> pipelined
+    throughput (compile-free) -> vmapped batch / FixedBaseMSM H only when
+    the cache leaves enough budget;
+  * every metric records the moment it lands; the emitted JSON carries all
+    of them as side fields with the single-proof latency as the headline.
 
 Baseline note (BASELINE.md "Derived estimate"): the reference publishes no
 numbers and Go is not installed in this image; the comparison constant below
@@ -164,9 +165,7 @@ def main():
         log(f"keygen done ({time.time()-t0:.1f}s)")
 
     # the FixedBaseMSM H path costs a ~14-minute cold XLA/Mosaic compile;
-    # it warms in a BACKGROUND thread while the staged-H pipeline (2-minute
-    # compiles) produces the first full-prove number.  _use_h_fixed is
-    # flipped only after the warm finishes, from the main thread.
+    # phase 6 enables it only when enough budget remains (warm cache).
     prover = Prover(cs, pk)
     want_fixed_h = prover._use_h_fixed
     prover._use_h_fixed = False
@@ -272,9 +271,53 @@ def main():
     best_ms = measure_prove(b"host-staged")
     record("chacha20_prove_ms", best_ms, full_prove=True)
 
-    # --- phase 3: batch-8 throughput (the v5e story's number)
+    # --- phase 3: device assembly (one packed transfer per proof)
+    dev_ok = False
+    if remaining() > 280:
+        warm("device_assemble",
+             lambda: prover.prove(z, rng_seed=b"warmup-dev",
+                                  assemble_on_host=False))
+        try:
+            ms = measure_prove(b"dev", assemble_on_host=False)
+            dev_ok = True
+            record("chacha20_prove_ms_device_assemble", ms)
+            if ms < best_ms:
+                best_ms = ms
+                record("chacha20_prove_ms", ms, full_prove=True)
+        except Exception as e:  # noqa: BLE001
+            log("device assemble failed:", repr(e))
+    else:
+        log(f"SKIP device assemble: {remaining():.0f}s left < 280s budget")
+
+    # --- phase 4: pipelined throughput — K whole-proof dispatch chains
+    # issued back-to-back with ONE fetch each at the end (prove_device).
+    # COMPILE-FREE (reuses phase 3's graphs), so it always fits; the
+    # vmapped batch below is strictly better amortization but costs a
+    # ~15 min cold compile.
     bsz = int(os.environ.get("BENCH_BATCH", "8"))
-    if remaining() > 420:
+    if dev_ok:
+        try:
+            t0 = time.time()
+            devs = [
+                prover.prove_device(z, rng_seed=b"bench-pipe%d" % i)
+                for i in range(bsz)
+            ]
+            proofs = [prover.finish_proof(d) for d in devs]
+            pipe_s = time.time() - t0
+            assert len(proofs) == bsz
+            amort = pipe_s / bsz * 1000.0
+            log(
+                f"pipelined{bsz}: {pipe_s*1000:.1f} ms total = "
+                f"{bsz/pipe_s:.2f} proofs/s ({amort:.1f} ms/proof)"
+            )
+            # amortized number stays a SIDE metric (ADVICE r3): the
+            # headline remains single-proof latency
+            BEST["chacha20_prove_ms_pipelined%d_amortized" % bsz] = round(amort, 3)
+        except Exception as e:  # noqa: BLE001
+            log("pipelined throughput failed:", repr(e))
+
+    # --- phase 5: vmapped batch throughput (best amortization, huge compile)
+    if remaining() > 1000:
         try:
             zb = np.stack([np.asarray(z)] * bsz)
             seeds = [b"bench-batch%d" % i for i in range(bsz)]
@@ -293,20 +336,7 @@ def main():
         except Exception as e:  # noqa: BLE001 — throughput stage best-effort
             log("batch prove failed:", repr(e))
     else:
-        log(f"SKIP batch{bsz}: {remaining():.0f}s left < 420s budget")
-
-    # --- phase 4: device assembly (one packed transfer per proof)
-    if remaining() > 280:
-        warm("device_assemble",
-             lambda: prover.prove(z, rng_seed=b"warmup-dev",
-                                  assemble_on_host=False))
-        ms = measure_prove(b"dev", assemble_on_host=False)
-        record("chacha20_prove_ms_device_assemble", ms)
-        if ms < best_ms:
-            best_ms = ms
-            record("chacha20_prove_ms", ms, full_prove=True)
-    else:
-        log(f"SKIP device assemble: {remaining():.0f}s left < 280s budget")
+        log(f"SKIP vmapped batch{bsz}: {remaining():.0f}s left < 1000s budget")
 
     # --- phase 5: FixedBaseMSM H (biggest compile; needs a warm cache)
     if want_fixed_h and remaining() > 880:

@@ -20,22 +20,27 @@
 
 namespace {
 
-std::mutex g_mu;
-bool g_inited = false;
+// Concurrency contract (VERDICT r3 item 9): runtime bring-up runs exactly
+// once (std::call_once); after that, Prove/Verify take NO library-level
+// lock — the CPython GIL serializes interpreter bytecode and is RELEASED
+// by JAX during device dispatch/waits, so concurrent Prove callers
+// pipeline on the device instead of queueing on a process mutex.  The
+// Python registry has its own _REGISTRY_LOCK (service.py).
+std::once_flag g_once;
 PyObject* g_service = nullptr;  // zktpu.api.service module
 
 bool ensure_runtime() {
-  if (g_inited) return g_service != nullptr;
-  g_inited = true;
-  if (!Py_IsInitialized()) {
-    Py_InitializeEx(0);
-  }
-  PyGILState_STATE gil = PyGILState_Ensure();
-  g_service = PyImport_ImportModule("zktpu.api.service");
-  if (g_service == nullptr) {
-    PyErr_Print();
-  }
-  PyGILState_Release(gil);
+  std::call_once(g_once, [] {
+    if (!Py_IsInitialized()) {
+      Py_InitializeEx(0);
+    }
+    PyGILState_STATE gil = PyGILState_Ensure();
+    g_service = PyImport_ImportModule("zktpu.api.service");
+    if (g_service == nullptr) {
+      PyErr_Print();
+    }
+    PyGILState_Release(gil);
+  });
   return g_service != nullptr;
 }
 
@@ -80,7 +85,6 @@ void enforce_binding() {}
 // returns 1 on success, 0 on failure
 int InitAlgorithm(unsigned char algorithm_id, const unsigned char* pk_ptr,
                   int pk_len, const unsigned char* r1cs_ptr, int r1cs_len) {
-  std::lock_guard<std::mutex> lock(g_mu);
   if (!ensure_runtime()) return 0;
   PyGILState_STATE gil = PyGILState_Ensure();
   PyObject* res = PyObject_CallMethod(
@@ -97,7 +101,6 @@ int InitAlgorithm(unsigned char algorithm_id, const unsigned char* pk_ptr,
 
 // reference: libprove.go:31-47 — returns malloc'd JSON; caller must Free()
 void* Prove(const unsigned char* params_ptr, int params_len, int* out_len) {
-  std::lock_guard<std::mutex> lock(g_mu);
   *out_len = 0;
   if (!ensure_runtime()) return error_json("runtime init failed", out_len);
   PyGILState_STATE gil = PyGILState_Ensure();
@@ -121,7 +124,6 @@ void Free(void* ptr) { std::free(ptr); }
 
 // reference: libverify.go:15-17
 int Verify(const unsigned char* params_ptr, int params_len) {
-  std::lock_guard<std::mutex> lock(g_mu);
   if (!ensure_runtime()) return 0;
   PyGILState_STATE gil = PyGILState_Ensure();
   PyObject* res = PyObject_CallMethod(

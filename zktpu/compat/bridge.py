@@ -52,13 +52,49 @@ def _bitrev(x: int, nbits: int) -> int:
     return r
 
 
-def compiled_from_gnark(r1cs: GnarkR1CS) -> CompiledR1CS:
+def commitment_wire_map(r1cs: GnarkR1CS):
+    """Wire renumbering that moves gnark's BSB22 commitment-CHALLENGE wire
+    into the instance block (the "instance remap" of our vk_x model).
+
+    gnark keeps the challenge as a private wire solved by the Bsb22 hint,
+    but serves it through the vk: vk.aes*'s IC has nbPublic+2 entries —
+    IC_0, the publics, and one slot for the challenge — and the verifier
+    folds proof.D into vk_x then derives the challenge by hashing
+    (verify.go in gnark's backend/groth16 [dep]).  Our Builder allocates
+    challenges as public wires from the start (builder.py challenge()), so
+    converting a gnark committed circuit = renumber the commitment wire to
+    position nb_public_wires and shift the private wires in between."""
+    cw = r1cs.commitment_wire
+    npw = r1cs.nb_public_wires
+    if cw is None:
+        return None
+
+    def m(w):
+        if w < npw or w > cw:
+            return w
+        if w == cw:
+            return npw
+        return w + 1
+
+    return m
+
+
+def compiled_from_gnark(
+    r1cs: GnarkR1CS, remap_commitment: bool = False
+) -> CompiledR1CS:
     """Decoded gnark constraint list -> flat COO CompiledR1CS.
 
     Terms with wire CONST_WIRE ride on wire 0 (the constant-1 public
-    wire).  No extra rows: gnark's QAP has zeros past nbConstraints."""
+    wire).  No extra rows: gnark's QAP has zeros past nbConstraints.
+
+    remap_commitment: apply commitment_wire_map so the BSB22 challenge
+    becomes a public wire and the committed wires are tagged — the result
+    feeds OUR setup/prove/verify with the commitment extension (proofs
+    under our own keys; the reference ships no pk.aes* to compare against,
+    .MISSING_LARGE_BLOBS)."""
     coeffs = r1cs.coeffs
     nb_pub_wires = r1cs.nb_public_wires  # includes "1"
+    wmap = commitment_wire_map(r1cs) if remap_commitment else None
     rows = {"a": [], "b": [], "c": []}
     cols = {"a": [], "b": [], "c": []}
     vals = {"a": [], "b": [], "c": []}
@@ -68,8 +104,11 @@ def compiled_from_gnark(r1cs: GnarkR1CS) -> CompiledR1CS:
             c = coeffs[cid]
             if c == 0:
                 continue
+            w = 0 if wid == CONST_WIRE else wid
+            if wmap is not None:
+                w = wmap(w)
             rows[mat].append(row)
-            cols[mat].append(0 if wid == CONST_WIRE else wid)
+            cols[mat].append(w)
             vals[mat].append(c)
 
     row = 0
@@ -80,10 +119,19 @@ def compiled_from_gnark(r1cs: GnarkR1CS) -> CompiledR1CS:
             emit("c", row, inst.o)
             row += 1
     assert row == r1cs.meta.nb_constraints
+    committed = np.zeros(0, dtype=np.int64)
+    challenge = np.zeros(0, dtype=np.int64)
+    num_public = nb_pub_wires - 1
+    if wmap is not None:
+        committed = np.asarray(
+            sorted(wmap(w) for w in r1cs.committed_wires), dtype=np.int64
+        )
+        challenge = np.asarray([nb_pub_wires], dtype=np.int64)
+        num_public += 1
     return CompiledR1CS(
         num_constraints=row,
         num_vars=r1cs.nb_wires,
-        num_public=nb_pub_wires - 1,
+        num_public=num_public,
         a_rows=np.asarray(rows["a"], dtype=np.int64),
         a_cols=np.asarray(cols["a"], dtype=np.int64),
         a_coeffs=vals["a"],
@@ -93,7 +141,20 @@ def compiled_from_gnark(r1cs: GnarkR1CS) -> CompiledR1CS:
         c_rows=np.asarray(rows["c"], dtype=np.int64),
         c_cols=np.asarray(cols["c"], dtype=np.int64),
         c_coeffs=vals["c"],
+        committed_vars=committed,
+        challenge_vars=challenge,
     )
+
+
+def remap_witness(r1cs: GnarkR1CS, z):
+    """Apply commitment_wire_map to a solved gnark witness vector."""
+    wmap = commitment_wire_map(r1cs)
+    if wmap is None:
+        return list(z)
+    out = [0] * len(z)
+    for w, v in enumerate(z):
+        out[wmap(w)] = v
+    return out
 
 
 # ------------------------------------------------------- point conversion

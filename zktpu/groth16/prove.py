@@ -496,10 +496,28 @@ class Prover:
                 self._bits_msb([s, r]).reshape(-1).astype(np.int32),
             ]
         ).astype(np.int32)
-        packed = np.asarray(
-            self._assemble_fused(a_msm, b1_msm, b2_msm, l_msm, h_msm, fused)
-        )
-        return self._proof_from_packed(packed, d_aff, dsig_aff)
+        packed_dev = self._assemble_fused(a_msm, b1_msm, b2_msm, l_msm, h_msm, fused)
+        if getattr(self, "_defer_fetch", False):
+            return packed_dev
+        return self._proof_from_packed(np.asarray(packed_dev), d_aff, dsig_aff)
+
+    def prove_device(self, zbits: np.ndarray, rng_seed: bytes | None = None):
+        """Pipelined-throughput variant of prove(): the WHOLE dispatch chain
+        (witness matvecs -> quotient -> MSMs -> device assembly) is issued
+        asynchronously and the (12, 16) packed-proof DEVICE array returned
+        un-fetched.  Issue K of these back-to-back and the chip executes
+        them with no host sync in between — one fetch per proof at the end
+        (finish_proof).  Compile-free once prove(assemble_on_host=False)
+        has run (reuses the exact same jitted graphs)."""
+        self._defer_fetch = True
+        try:
+            return self.prove(zbits, rng_seed, assemble_on_host=False)
+        finally:
+            self._defer_fetch = False
+
+    @staticmethod
+    def finish_proof(packed_dev, d_aff=None, dsig_aff=None) -> Proof:
+        return Prover._proof_from_packed(np.asarray(packed_dev), d_aff, dsig_aff)
 
     @property
     def _assemble_fused(self):
