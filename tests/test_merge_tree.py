@@ -70,3 +70,23 @@ def test_two_long_runs(int_add):
     vals = np.ones((2, 64), np.uint32)
     got = _run(ds, vals)
     assert got[0, 3] == 32 and got[0, 9] == 32
+
+
+@pytest.mark.parametrize("tail", [1, 8, 64, 4096])
+def test_tail_width_invariance(int_add, tail):
+    """The fori-tail takeover width is a pure compile/runtime trade — the
+    bucket results must be identical at any tail (incl. degenerate 1 =
+    all-fori and >n = all-unrolled... er, tail>n = no unrolled levels)."""
+    rng = np.random.default_rng(tail)
+    ds = np.sort(rng.integers(0, 256, (2, 256)), axis=1).astype(np.uint32)
+    vals = rng.integers(1, 1000, (2, 256)).astype(np.uint32)
+    px = vals[:, :, None]
+    zeros = np.zeros_like(px)
+    BX, _, _ = pp.stage_buckets_tree(
+        jnp.asarray(ds), jnp.asarray(px), jnp.asarray(zeros),
+        jnp.asarray(zeros), tail=tail,
+    )
+    got = np.asarray(BX)[:, :, 0]
+    exp = _expect(ds, vals)
+    nz = exp != 0
+    assert np.array_equal(got[nz], exp[nz].astype(got.dtype))

@@ -208,7 +208,8 @@ def _merge_level(ops, fid, lid, first, last, B, live_pairs=None, nbuckets=NBUCKE
     return afid, blid, new_first, new_last, (BX, BY, BZ)
 
 
-def stage_buckets_tree(ds, px, py, Z, ops=jc.G1, nbuckets=NBUCKETS):
+def stage_buckets_tree(ds, px, py, Z, ops=jc.G1, nbuckets=NBUCKETS,
+                       tail=None):
     """Work-efficient bucket accumulation: pairwise block merging.
 
     Replaces scan+tail-scatter (O(N log N) point adds) with a binary merge
@@ -227,6 +228,8 @@ def stage_buckets_tree(ds, px, py, Z, ops=jc.G1, nbuckets=NBUCKETS):
 
     ds (W, N) sorted digits; px/py/Z (W, N, coord) lifted Jacobian points.
     Returns (BX, BY, BZ) with shape (W, NBUCKETS, coord)."""
+    if tail is None:
+        tail = TREE_TAIL_WIDTH
     w, n = ds.shape
     bshape = (w, nbuckets) + px.shape[2:]
     B = (
@@ -240,7 +243,7 @@ def stage_buckets_tree(ds, px, py, Z, ops=jc.G1, nbuckets=NBUCKETS):
 
     # -------- unrolled head: true shapes while levels are wide
     m = n
-    while m > max(TREE_TAIL_WIDTH, 1):
+    while m > max(tail, 1):
         fid, lid, first, last, B = _merge_level(
             ops, fid, lid, first, last, B, nbuckets=nbuckets
         )
@@ -606,7 +609,10 @@ class FixedBaseMSM:
     with row/col sums as log-depth halving trees over the (256, 256)
     reshape — ~130k adds, same budget as the 8-bit double-suffix."""
 
-    def __init__(self, points, inf_mask, ops=jc.G1):
+    def __init__(self, points, inf_mask, ops=jc.G1, tail=None):
+        # tail: fori-tail takeover width for the merge tree.  Wider tail =
+        # fewer unrolled head levels = cheaper Mosaic compile, at ~tail/2 *
+        # log2(tail) masked extra adds (dead lanes).  None = module default.
         self.ops = ops
         n = points.shape[0]
         assert n & (n - 1) == 0, "pad N to a power of two"
@@ -621,7 +627,9 @@ class FixedBaseMSM:
         )
         self._prepare = jax.jit(functools.partial(self._prepare_impl, ops=ops))
         self._tree = jax.jit(
-            functools.partial(stage_buckets_tree, ops=ops, nbuckets=FB_NBUCKETS)
+            functools.partial(
+                stage_buckets_tree, ops=ops, nbuckets=FB_NBUCKETS, tail=tail
+            )
         )
         self._reduce = jax.jit(functools.partial(self._reduce_hier, ops=ops))
 
