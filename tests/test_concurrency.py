@@ -81,6 +81,22 @@ def test_concurrent_prove_verify_three_ciphers():
         "aes-128-ctr": (16, ">I"),
         "aes-256-ctr": (32, ">I"),
     }
+
+    # warm each cipher's prove graphs SEQUENTIALLY first: concurrent
+    # first-time XLA:CPU compiles can segfault inside backend_compile
+    # (observed round 4 — a jax/XLA:CPU compile race, not a zktpu path);
+    # the race below then exercises concurrent PROVING, which is the
+    # contract the reference's TestProveVerify checks (core_test.go:38-44)
+    for cipher, (key_len, _) in jobs.items():
+        warm = {
+            "cipher": cipher,
+            "key": base64.b64encode(bytes(key_len)).decode(),
+            "nonce": base64.b64encode(bytes(12)).decode(),
+            "counter": 1,
+            "input": base64.b64encode(bytes(64)).decode(),
+        }
+        service.prove(json.dumps(warm).encode())
+
     errors = []
     oks = {}
 
