@@ -62,3 +62,27 @@ def test_batch_matches_single(tiny):
     # byte equality makes per-proof pairing checks redundant; verify ONE
     # (the pairing is ~60 s of pure Python per call on the CPU test host)
     assert verify(batch[0], vk, pubs[0])
+
+
+@pytest.mark.slow
+def test_prove_device_matches_prove(tiny):
+    """The fetch-deferred pipelined path (prove_device + finish_proof) is
+    byte-identical to prove() for the same seed — bench phase 4's
+    throughput number measures the production proof, not a variant."""
+    b, cs, pk, vk = tiny
+    prover = Prover(cs, pk)
+    rng = np.random.default_rng(9)
+    zs, seeds = [], []
+    for i in range(2):
+        svals = [int(x) for x in rng.integers(0, 2, 8)]
+        pvals = [int(x) for x in rng.integers(0, 2, 8)]
+        zs.append(_witness(b, cs, svals, pvals))
+        seeds.append(b"pipe-%d" % i)
+    devs = [prover.prove_device(z, rng_seed=s) for z, s in zip(zs, seeds)]
+    piped = [prover.finish_proof(d) for d in devs]
+    singles = [
+        prover.prove(z, rng_seed=s, assemble_on_host=False)
+        for z, s in zip(zs, seeds)
+    ]
+    for one, many in zip(singles, piped):
+        assert (one.a, one.b, one.c) == (many.a, many.b, many.c)
