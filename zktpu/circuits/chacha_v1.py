@@ -34,10 +34,7 @@ from ..r1cs.builder import (
 )
 from .chacha_v3 import CHACHA_CONSTS, QR_SCHEDULE
 
-P_FR = None  # set below from field params (avoid heavy imports at module top)
-from ..field.params import FR as _FR  # noqa: E402
-
-P_FR = _FR.modulus
+from ..field.params import P_FR
 
 XOR_TABLE = [((j & 0xFF) ^ (j >> 8)) for j in range(65536)]
 RANGE_TABLE = list(range(256))
