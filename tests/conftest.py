@@ -20,6 +20,22 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import resource  # noqa: E402
+
+# XLA:CPU's recursive passes overflow the default 8 MB stack on our giant
+# witness graphs (observed round 4: deterministic SIGSEGV inside
+# backend_compile_and_load while jitting the AES witness solver).  Raise
+# the limit so the main stack may keep growing, and give worker threads a
+# large explicit stack (threading.stack_size applies at thread creation).
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ValueError, OSError):
+    pass
+import threading  # noqa: E402
+
+threading.stack_size(256 * 1024 * 1024)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -82,11 +82,13 @@ def test_concurrent_prove_verify_three_ciphers():
         "aes-256-ctr": (32, ">I"),
     }
 
-    # warm each cipher's prove graphs SEQUENTIALLY first: concurrent
-    # first-time XLA:CPU compiles can segfault inside backend_compile
-    # (observed round 4 — a jax/XLA:CPU compile race, not a zktpu path);
-    # the race below then exercises concurrent PROVING, which is the
-    # contract the reference's TestProveVerify checks (core_test.go:38-44)
+    # warm each cipher's prove graphs SEQUENTIALLY first, each on a
+    # big-stack thread (conftest sets threading.stack_size): XLA:CPU's
+    # recursive compile passes overflow an 8 MB stack on the AES witness
+    # graph (observed round 4 — deterministic SIGSEGV in backend_compile,
+    # not a zktpu path).  The race below then exercises concurrent
+    # PROVING, the contract of the reference's TestProveVerify
+    # (core_test.go:38-44)
     for cipher, (key_len, _) in jobs.items():
         warm = {
             "cipher": cipher,
@@ -95,7 +97,11 @@ def test_concurrent_prove_verify_three_ciphers():
             "counter": 1,
             "input": base64.b64encode(bytes(64)).decode(),
         }
-        service.prove(json.dumps(warm).encode())
+        th = threading.Thread(
+            target=service.prove, args=(json.dumps(warm).encode(),)
+        )
+        th.start()
+        th.join()
 
     errors = []
     oks = {}
