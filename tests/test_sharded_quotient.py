@@ -28,7 +28,12 @@ def _single_chip_quotient(az, bz, cz, domain):
     return F.from_mont(h)
 
 
-@pytest.mark.parametrize("n", [1024])
+@pytest.mark.parametrize(
+    "n",
+    [256, pytest.param(1024, marks=pytest.mark.slow)],  # 1024 costs ~2x the
+    # compile; the mesh/permutation logic is size-independent (fast tier
+    # keeps one real 8-device run, VERDICT r3 item 10)
+)
 def test_sharded_quotient_matches_single_chip(n):
     nd = 8
     assert len(jax.devices()) >= nd
