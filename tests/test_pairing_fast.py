@@ -57,3 +57,21 @@ def test_frobenius_is_p_power():
     f = ec.miller_loop(ec.twist_to_fp12(Q1), ec.g1_to_fp12(P1))
     assert ec.frobenius(f, 1) == f.pow(ec.P)
     assert ec.frobenius(f, 2) == f.pow(ec.P**2)
+
+
+def test_g2_subgroup_check():
+    """proof.B safety (ADVICE r4): on-curve twist points OUTSIDE the
+    r-subgroup must be rejected, matching gnark Proof.ReadFrom's
+    SubgroupCheck.  The pinned point was found by x-coordinate search +
+    Fp2 sqrt; it satisfies y^2 = x^3 + b' but [r]Q != O."""
+    assert ec.g2_subgroup_check(ec.G2_GEN)
+    assert ec.g2_subgroup_check(ec.G2_CURVE.mul(ec.G2_GEN, 12345))
+    assert ec.g2_subgroup_check(ec.G2_CURVE.infinity())
+    x = ec.Fp2(2, 1)
+    y = ec.Fp2(
+        7292567877523311580221095596750716176434782432868683424513645834767876293070,
+        19659275751359636165940301690575149581329631496732780143538578556285923319774,
+    )
+    rogue = ec.G2_CURVE.from_affine(x, y)
+    assert ec.G2_CURVE.is_on_curve(rogue)
+    assert not ec.g2_subgroup_check(rogue)

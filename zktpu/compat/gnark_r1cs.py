@@ -261,6 +261,28 @@ def decode_intcomp32_blocks(words):
     return out
 
 
+def _classify_tail_lookup(u, nb, tables, lookup_bp_ids):
+    """Classify an instruction in the intcomp <128-value tail (where no
+    BlueprintID was decoded) as a lookup unit by calldata shape: the query
+    list must walk to exactly nb values AND nbTableEntries must match a
+    registered lookup blueprint's table.  Returns that blueprint index or
+    None.  Only reached after the R1C/hint shapes failed to match."""
+    if nb < 3 or not tables:
+        return None
+    nq = u[2]
+    j = 3
+    for _ in range(nq):
+        if j >= nb:
+            return None
+        j += 1 + 2 * u[j]
+    if j != nb:
+        return None
+    for bidx, tid in lookup_bp_ids.items():
+        if u[1] == len(tables[tid]):
+            return bidx
+    return None
+
+
 def read_blueprint_ids(data: bytes):
     """Per-instruction BlueprintID for the FULL-BLOCK prefix (multiple of
     128); the <128-instruction tail is returned as None entries."""
@@ -431,8 +453,16 @@ def read_r1cs(data: bytes) -> GnarkR1CS:
                 hint_id=u[1], exprs=exprs, out_start=u[j], out_end=u[j + 1]
             )
             next_wire = max(next_wire, inst.out_end)
-        elif bp is not None and bp in lookup_bp_ids:
+        elif (bp is not None and bp in lookup_bp_ids) or (
+            bp is None
+            and (bp := _classify_tail_lookup(u, nb, tables, lookup_bp_ids))
+            is not None
+        ):
             # [nbTotal, nbTableEntries, nbQueries, per query: len, pairs]
+            # bp may come from the <128-instruction intcomp tail (no decoded
+            # BlueprintID): classified by calldata shape instead (ADVICE r4
+            # — the shipped AES artifacts happen to end on a full block, but
+            # valid gnark files can put lookups in the tail).
             nq = u[2]
             if u[1] != len(tables[lookup_bp_ids[bp]]):
                 raise GnarkR1CSError(

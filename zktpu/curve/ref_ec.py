@@ -9,10 +9,11 @@ zktpu.curve.jnp_curve / zktpu.msm / zktpu.ntt and is cross-checked against this
 module in tests.
 
 Tower: Fp2 = Fp[u]/(u^2+1); Fp6 = Fp2[v]/(v^3 - xi), xi = 9+u;
-Fp12 = Fp6[w]/(w^2 - v).  Pairing: optimal ate via a py_ecc-style affine
-Miller loop run over E(Fp12) (G2 points lifted through the sextic twist),
-with naive final exponentiation f^((p^12-1)/r) — simple, auditable, and fast
-enough for the cold path.
+Fp12 = Fp6[w]/(w^2 - v).  Pairing: optimal ate with per-Q prepared line
+coefficients (G2Prepared) evaluated at P with sparse Fp12 muls, and a
+Devegili-Scott BN addition-chain final exponentiation (easy part
+f^((p^6-1)(p^2+1)) + hard part); a py_ecc-style E(Fp12) Miller loop is kept
+as the oracle fallback for degenerate pairs.
 """
 
 from __future__ import annotations
@@ -632,6 +633,22 @@ def miller_loop_prepared(prep: G2Prepared, p_aff) -> Fp12:
     f = line(f)
     f = line(f)
     return f
+
+
+def g2_subgroup_check(q: Point) -> bool:
+    """r-subgroup membership for a point on the G2 twist.
+
+    BN254's twist curve has a large cofactor, so on-curve does NOT imply
+    order r; gnark's Proof.ReadFrom subgroup-checks every deserialized G2
+    point ([dep] go.mod:8) and the verifier must match that safety behavior
+    for attacker-controlled proof.B.  Plain [r]Q == O, computed as
+    [r-1]Q + Q so Curve.mul's mod-r scalar reduction (which would make a
+    direct [r]Q trivially infinity) is bypassed.  G1 needs no counterpart:
+    its cofactor is 1, on-curve suffices.
+    """
+    if G2_CURVE._is_inf(q):
+        return True
+    return G2_CURVE._is_inf(G2_CURVE.add(G2_CURVE.mul(q, R_ORDER - 1), q))
 
 
 def pairing(p: Point, q: Point) -> Fp12:

@@ -464,7 +464,8 @@ class Prover:
         return out
 
     def _assemble(self, a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed,
-                  d_aff=None, dsig_aff=None, on_host=None) -> Proof:
+                  d_aff=None, dsig_aff=None, on_host=None,
+                  defer_fetch: bool = False) -> Proof:
         if on_host is None:
             on_host = self.assemble_on_host
         if rng_seed is None:
@@ -497,7 +498,7 @@ class Prover:
             ]
         ).astype(np.int32)
         packed_dev = self._assemble_fused(a_msm, b1_msm, b2_msm, l_msm, h_msm, fused)
-        if getattr(self, "_defer_fetch", False):
+        if defer_fetch:
             return packed_dev
         return self._proof_from_packed(np.asarray(packed_dev), d_aff, dsig_aff)
 
@@ -508,12 +509,12 @@ class Prover:
         un-fetched.  Issue K of these back-to-back and the chip executes
         them with no host sync in between — one fetch per proof at the end
         (finish_proof).  Compile-free once prove(assemble_on_host=False)
-        has run (reuses the exact same jitted graphs)."""
-        self._defer_fetch = True
-        try:
-            return self.prove(zbits, rng_seed, assemble_on_host=False)
-        finally:
-            self._defer_fetch = False
+        has run (reuses the exact same jitted graphs).  The defer-fetch
+        decision is threaded through as a call parameter (not instance
+        state), so concurrent prove() calls on the same Prover — which the
+        FFI layer allows — cannot observe it (ADVICE r4)."""
+        return self.prove(zbits, rng_seed, assemble_on_host=False,
+                          _defer_fetch=True)
 
     @staticmethod
     def finish_proof(packed_dev, d_aff=None, dsig_aff=None) -> Proof:
@@ -553,7 +554,8 @@ class Prover:
         )
 
     def prove(self, zbits: np.ndarray, rng_seed: bytes | None = None,
-              assemble_on_host: bool | None = None) -> Proof:
+              assemble_on_host: bool | None = None,
+              _defer_fetch: bool = False) -> Proof:
         """Bit-witness fast path (ChaChaV3: every wire is 0/1).
         zbits: (num_vars,) uint32 full witness (z[0] = 1 included).
         assemble_on_host overrides the instance default for THIS call only
@@ -594,7 +596,8 @@ class Prover:
                 h_msm = sync(self._msm_g1(*self._dev["h_query"], h_digits))
         with stage("prove.assemble"):
             return self._assemble(a_msm, b1_msm, b2_msm, l_msm, h_msm, rng_seed,
-                                  on_host=assemble_on_host)
+                                  on_host=assemble_on_host,
+                                  defer_fetch=_defer_fetch)
 
     def prove_batch(self, zbits_batch: np.ndarray, rng_seeds) -> list:
         """Data-parallel proving (SURVEY §2.3 DP axis): B independent bit

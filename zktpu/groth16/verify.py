@@ -32,6 +32,18 @@ def _g2_point(aff):
     )
 
 
+def _prep_one(q):
+    # A degenerate/adversarial vk point can abort G2Prepared.__init__ with
+    # the internal _DegeneratePair; keep the raw Point in that case so
+    # multi_pairing_is_one takes its Fp12-oracle fallback instead of
+    # verify() raising (and the except clause masking it as False-with-
+    # -no-diagnostic for every later call).
+    try:
+        return ec.G2Prepared(q)
+    except ec._DegeneratePair:
+        return q
+
+
 def _prepared(vk: VerifyingKey):
     """Per-vk pairing precompute, cached on the vk object: G2Prepared line
     coefficients for the FIXED second arguments (beta/gamma/delta/sigma/G2)
@@ -39,13 +51,13 @@ def _prepared(vk: VerifyingKey):
     prep = getattr(vk, "_pairing_prep", None)
     if prep is None:
         prep = {
-            "beta": ec.G2Prepared(_g2_point(vk.beta_g2)),
-            "gamma": ec.G2Prepared(_g2_point(vk.gamma_g2)),
-            "delta": ec.G2Prepared(_g2_point(vk.delta_g2)),
-            "g2": ec.G2Prepared(ec.G2_GEN),
+            "beta": _prep_one(_g2_point(vk.beta_g2)),
+            "gamma": _prep_one(_g2_point(vk.gamma_g2)),
+            "delta": _prep_one(_g2_point(vk.delta_g2)),
+            "g2": _prep_one(ec.G2_GEN),
         }
         if vk.sigma_g2 is not None:
-            prep["sigma"] = ec.G2Prepared(_g2_point(vk.sigma_g2))
+            prep["sigma"] = _prep_one(_g2_point(vk.sigma_g2))
         vk._pairing_prep = prep
     return prep
 
@@ -67,6 +79,11 @@ def verify(proof: Proof, vk: VerifyingKey, public_inputs: list[int]) -> bool:
             if not ec.G1_CURVE.is_on_curve(p):
                 return False
         if not ec.G2_CURVE.is_on_curve(b):
+            return False
+        # proof.B is attacker-controlled and the twist has a large cofactor:
+        # r-subgroup check, matching gnark Proof.ReadFrom's SubgroupCheck
+        # (reference behavior via [dep] go.mod:8).  A/C are G1 (cofactor 1).
+        if not ec.g2_subgroup_check(b):
             return False
 
         public_inputs = [int(v) % ec.R_ORDER for v in public_inputs]
