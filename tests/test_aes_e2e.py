@@ -50,6 +50,16 @@ def test_full_aes128_prove_verify():
     out = json.loads(service.prove(json.dumps(req).encode()))
     ct = base64.b64decode(out["publicSignals"])
 
+    # AES proofJson is gnark proof.WriteTo bytes (provers.go:152-157 serves
+    # gnark bytes for every cipher): must parse with the gnark reader and
+    # byte-round-trip, carrying the commitment + PoK (VERDICT r4 item 5)
+    from zktpu.compat.gnark import proof_from_gnark_bytes, proof_to_gnark_bytes
+
+    pb = base64.b64decode(out["proof"]["proofJson"])
+    gp = proof_from_gnark_bytes(pb)
+    assert gp.d is not None and gp.d_sigma is not None
+    assert proof_to_gnark_bytes(gp) == pb
+
     from zktpu.circuits.aes_v2 import aes_ctr_encrypt
 
     assert ct == aes_ctr_encrypt(key, nonce, counter, pt)

@@ -155,7 +155,7 @@ def test_aes128_gnark_cs_prove_verify_own_keys():
     production Prover, verify with the commitment extension + negative."""
     from zktpu.compat.bridge import compiled_from_gnark, remap_witness
     from zktpu.compat.gnark_r1cs import read_r1cs, solve_witness
-    from zktpu.groth16.prove import Prover, encode_witness, lookup_challenge
+    from zktpu.groth16.prove import Prover, encode_witness, lookup_challenges
     from zktpu.groth16.setup import setup
     from zktpu.groth16.verify import verify
 
@@ -173,8 +173,9 @@ def test_aes128_gnark_cs_prove_verify_own_keys():
     _, z1_dig = encode_witness(z1, prover.nv_pad)
     d_aff, ds_aff = prover.commit(z1_dig)
     # phase 2: the real Fiat-Shamir challenge, derived exactly as the
-    # verifier will derive it
-    chal = lookup_challenge(d_aff, npw)
+    # verifier will derive it — gnark's own one-challenge BSB22 hash
+    # (fr.Hash of the 64-byte commitment, dst "bsb22-commitment")
+    (chal,) = lookup_challenges(d_aff, [npw])
     z2 = remap_witness(r1, solve_witness(r1, pub, sec,
                                          bsb22_challenge=lambda ins: chal))
     z_mont, z_dig = encode_witness(z2, prover.nv_pad)

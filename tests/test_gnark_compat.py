@@ -216,3 +216,48 @@ def test_reference_r1cs_consistent_with_pk_vk(parsed_pk):
     assert meta.public_names[1] == "Counter_0"
     assert meta.public_names[33] == "Nonce_0_0"
     assert meta.secret_names[0] == "Key_0_0"
+
+
+@needs_ref
+def test_gnark_aes_vk_converts_to_verifier_form():
+    """The reference's binary vk.aes128 loads into our VerifyingKey with the
+    pedersen-form PoK pair and the trailing challenge slot (gnark appends
+    commitment wires after the regular publics: slot = len(ic) - 1 = 142
+    for 141 public bytes).  A garbage proof must verify False, not raise.
+    (A POSITIVE gnark-AES interop check is impossible in this snapshot —
+    pk.aes* are stripped upstream, .MISSING_LARGE_BLOBS.)"""
+    from zktpu.compat.bridge import verifying_key_from_gnark
+    from zktpu.groth16.prove import Proof
+    from zktpu.groth16.verify import verify
+
+    raw = open(os.path.join(VK_DIR, "vk.aes128"), "rb").read()
+    vk = verifying_key_from_gnark(gk.read_vk(raw))
+    assert vk.pedersen_g is not None and vk.pedersen_g_root_sigma_neg is not None
+    assert vk.sigma_g2 is None
+    assert vk.challenge_slots == [142]
+    assert len(vk.ic) == 143
+    bogus = Proof(a=(1, 2), b=((1, 0), (2, 0)), c=(1, 2), d=(1, 2), d_sigma=(1, 2))
+    assert verify(bogus, vk, [0] * 142) is False
+    # commitment missing entirely -> False
+    assert verify(Proof(a=(1, 2), b=((1, 0), (2, 0)), c=(1, 2)), vk, [0] * 142) is False
+
+
+@needs_ref
+def test_service_loads_gnark_aes_vk():
+    """load_verifiers_from_dir no longer skips the reference's binary AES
+    vks (VERDICT r4 L3 note)."""
+    from zktpu.api import service
+
+    old = dict(service._VERIFIERS)
+    try:
+        service._VERIFIERS.clear()
+        service.load_verifiers_from_dir(VK_DIR)
+        assert "aes-128-ctr" in service._VERIFIERS
+        assert "aes-256-ctr" in service._VERIFIERS
+        assert "chacha20" in service._VERIFIERS
+        svc = service._VERIFIERS["aes-128-ctr"]
+        assert svc.vk.challenge_slots == [142]
+        assert svc.verify(b"garbage", bytes(144)) is False
+    finally:
+        service._VERIFIERS.clear()
+        service._VERIFIERS.update(old)

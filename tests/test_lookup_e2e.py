@@ -10,7 +10,13 @@ import numpy as np
 import pytest
 
 from zktpu.field.params import P_FR
-from zktpu.groth16.prove import Prover, encode_witness, lookup_challenge
+from zktpu.groth16.prove import (
+    Prover,
+    encode_witness,
+    expand_message_xmd,
+    fr_hash,
+    lookup_challenges,
+)
 from zktpu.groth16.setup import setup
 from zktpu.groth16.verify import verify
 from zktpu.r1cs.builder import Builder, lc_var
@@ -35,8 +41,7 @@ def lookup_circuit():
 def build_witness(q_val: int, out_val: int, d_aff=None):
     """Emulates the two-phase witness fill in builder allocation order:
     [1, out_pub, eta1, eta2, q, out, prod, f, (m_j, g_j) x 8, ...]."""
-    eta1 = lookup_challenge(d_aff, 2) if d_aff else 0
-    eta2 = lookup_challenge(d_aff, 3) if d_aff else 0
+    eta1, eta2 = lookup_challenges(d_aff, [2, 3]) if d_aff else (0, 0)
     z = [1, out_val, eta1, eta2, q_val, out_val]
     prod = eta2 * out_val % P_FR
     denom = (eta1 - (q_val + prod)) % P_FR
@@ -113,3 +118,41 @@ def test_forged_commitment_rejected(artifacts):
     forged = type(proof)(a=proof.a, b=proof.b, c=proof.c, d=bogus,
                          d_sigma=proof.d_sigma)
     assert not verify(forged, vk, [out_val, 0, 0])
+
+
+def test_expand_message_xmd_rfc9380_vectors():
+    """RFC 9380 appendix K.1 test vectors (SHA-256, the expansion
+    gnark-crypto's fr.Hash builds on).  Pins the BSB22 challenge derivation
+    to gnark semantics at the byte level."""
+    dst = b"QUUX-V01-CS02-with-expander-SHA256-128"
+    assert expand_message_xmd(b"", dst, 0x20).hex() == (
+        "68a985b87eb6b46952128911f2a4412bbc302a9d759667f87f7a21d803f07235"
+    )
+    assert expand_message_xmd(b"abc", dst, 0x20).hex() == (
+        "d8ccab23b5985ccea865c6c97b6e5b8350e794e603b4b97902f53a8a0d605615"
+    )
+    assert expand_message_xmd(b"abcdef0123456789", dst, 0x20).hex() == (
+        "eff31487c770a893cfb36f912fbfcbff40d5661771ca4b2cb4eafe524333f5c1"
+    )
+
+
+def test_lookup_challenges_modes(monkeypatch):
+    """gnark mode (default) = fr.Hash of the 64-byte uncompressed commitment
+    under dst 'bsb22-commitment'; v1 flag restores the legacy hash."""
+    d = (123456789, 987654321)
+    msg = d[0].to_bytes(32, "big") + d[1].to_bytes(32, "big")
+    monkeypatch.delenv("ZKTPU_LOOKUP_CHALLENGE", raising=False)
+    got = lookup_challenges(d, [2, 3])
+    assert got == fr_hash(msg, b"bsb22-commitment", 2)
+    assert all(0 < c < P_FR for c in got)
+    # one-challenge case must equal the first of the two-challenge expansion
+    # ONLY if gnark's per-count expansion says so -- it does not (length is
+    # hashed into b0), so pin the independent value instead:
+    assert lookup_challenges(d, [7]) == fr_hash(msg, b"bsb22-commitment", 1)
+    monkeypatch.setenv("ZKTPU_LOOKUP_CHALLENGE", "v1")
+    from zktpu.groth16.prove import lookup_challenge
+
+    assert lookup_challenges(d, [2, 3]) == [
+        lookup_challenge(d, 2),
+        lookup_challenge(d, 3),
+    ]

@@ -19,8 +19,11 @@ from zktpu.msm import pippenger as pp
 def fixed_msm():
     rng = np.random.default_rng(3)
     n = 128  # flat M = 2k -> all-fori merge tail: small XLA:CPU compile
-    base = [ec.G1_CURVE.mul(ec.G1_GEN, int(k)) for k in rng.integers(1, 2**62, 48)]
-    pts = [base[i % 48] for i in range(n)]
+    # PAIRWISE-DISTINCT points: FixedBaseMSM's no-doubling kernels require
+    # it (the real H query is distinct powers of tau; see the class
+    # docstring).  Distinct scalars k give distinct k*G.
+    ks = sorted({int(k) for k in rng.integers(1, 2**62, 2 * n)})[:n]
+    pts = [ec.G1_CURVE.mul(ec.G1_GEN, k) for k in ks]
     P = jc.g1_to_limbs(pts)
     infm = jc.g1_inf_mask(pts)
     infm[5] = True  # exercise infinity propagation through the shift copies
@@ -53,6 +56,33 @@ def test_fixed_msm_sparse_scalars(fixed_msm):
     scalars = [0] * len(pts)
     for i in rng.integers(0, len(pts), 97):
         scalars[int(i)] = int.from_bytes(rng.bytes(30), "big")
+    S = limb.encode(scalars, FR, mont=False)
+    got = jc.limbs_to_g1(msm(S))
+    assert ec.G1_CURVE.eq(got, _oracle(pts, infm, scalars))
+
+
+def test_signed_digit_recode_roundtrip():
+    """Signed recode invariant: sum_w d_w 2^(16w) == scalar, digits in
+    [-2^15, 2^15), for edge scalars (0, 1, r-1, all-limbs-high)."""
+    import jax
+
+    scalars = [s % P_FR for s in
+               [0, 1, P_FR - 1, (1 << 254) - 1, 0x8000, 0xFFFF, 0x18000,
+                int.from_bytes(b"\x7f" * 31, "big")]]
+    S = limb.encode(scalars, FR, mont=False)
+    d = np.asarray(jax.jit(pp.scalars_to_signed_digits)(S))  # (16, N)
+    assert d.min() >= -(1 << 15) and d.max() < (1 << 15)
+    for j, s in enumerate(scalars):
+        v = sum(int(d[w, j]) << (16 * w) for w in range(16))
+        assert v == s, (j, s, v)
+
+
+def test_fixed_msm_negation_heavy(fixed_msm):
+    """Scalars whose every window recodes NEGATIVE (all limbs >= 2^15)
+    exercise the y-flip path end to end."""
+    pts, infm, msm, rng = fixed_msm
+    base = int.from_bytes(b"\xfe\xff" * 8, "little")  # every 16-bit limb 0xFFFE
+    scalars = [(base - 65536 * i - i) % P_FR for i in range(len(pts))]
     S = limb.encode(scalars, FR, mont=False)
     got = jc.limbs_to_g1(msm(S))
     assert ec.G1_CURVE.eq(got, _oracle(pts, infm, scalars))

@@ -150,3 +150,76 @@ def test_f2_padd_matches_ref_ec():
     for i in range(n):
         got = jc.limbs_to_g2((X[i], Y[i], Z[i]))
         assert ec.G2_CURVE.eq(got, expect[i]), f"case {i}"
+
+
+def _rand_jac_points(n, seed):
+    """Distinct Jacobian G1 points (limb SoA) + their ref_ec mirrors."""
+    from zktpu.curve import jnp_curve as jc
+    from zktpu.curve import ref_ec as ec
+
+    rng = np.random.default_rng(seed)
+    ks = sorted({int(k) for k in rng.integers(1, 2**61, 2 * n)})[:n]
+    pts = [ec.G1_CURVE.mul(ec.G1_GEN, k) for k in ks]
+    P = jc.g1_to_limbs(pts)
+    one = np.asarray(jc._one_cached(False))
+    Z = np.broadcast_to(one, (n, 16)).copy()
+    return pts, (jnp.asarray(P[:, 0]), jnp.asarray(P[:, 1]), jnp.asarray(Z))
+
+
+def _rows_of(t):
+    return [r for r in pf.to_f32_digits(t)]
+
+
+def _point_of(rows3, i, jc):
+    import numpy as np  # noqa: F811
+
+    xyz = []
+    for rows in rows3:
+        arr = jnp.stack([r for r in rows])  # (32, n)
+        xyz.append(np.asarray(pf.from_f32_digits(arr, (arr.shape[1], 16)))[i])
+    return jc.limbs_to_g1(tuple(xyz))
+
+
+def test_f32_padd_nodbl_rows():
+    """No-doubling Jacobian add FORMULA (the digit-row function the pallas
+    kernel wraps) == complete add on distinct points, plus the infinity
+    selects and the h=0 cancellation path.  Run as plain jnp on the rows —
+    the pallas_call plumbing is byte-shared with the TPU-validated padd
+    kernel; interpret mode at kernel size needs ~30 GB (not run)."""
+    from zktpu.curve import jnp_curve as jc
+    from zktpu.curve import ref_ec as ec
+
+    n = 8
+    pts, (X, Y, Z) = _rand_jac_points(2 * n, 991)
+    p = [X[:n], Y[:n], Z[:n]]
+    q = [X[n:], Y[n:], Z[n:]]
+    # lane 0: q at infinity; lane 1: p at infinity; lane 2: q = -p (cancel)
+    q = [q[0].at[0].set(0), q[1].at[0].set(0), q[2].at[0].set(0)]
+    p = [p[0].at[1].set(0), p[1].at[1].set(0), p[2].at[1].set(0)]
+    negy = jnp.asarray(np.asarray(jc.FP_OPS.neg(p[1][2])))
+    q = [q[0].at[2].set(p[0][2]), q[1].at[2].set(negy), q[2].at[2].set(p[2][2])]
+    rx, ry, rz = pf.f_padd_nodbl(*(_rows_of(t) for t in p + q), pf.FP_C)
+    for i in range(n):
+        a = jc.limbs_to_g1(tuple(np.asarray(c[i]) for c in p))
+        b = jc.limbs_to_g1(tuple(np.asarray(c[i]) for c in q))
+        g = _point_of((rx, ry, rz), i, jc)
+        assert ec.G1_CURVE.eq(g, ec.G1_CURVE.add(a, b)), i
+
+
+def test_f32_madd_aff_rows():
+    """Affine+affine FORMULA (merge-tree level 1) == complete add."""
+    from zktpu.curve import jnp_curve as jc
+    from zktpu.curve import ref_ec as ec
+
+    n = 8
+    pts, (X, Y, Z) = _rand_jac_points(2 * n, 992)
+    p = [X[:n], Y[:n], Z[:n]]
+    q = [X[n:], Y[n:], Z[n:]]
+    q = [q[0].at[0].set(0), q[1].at[0].set(0), q[2].at[0].set(0)]  # q inf
+    p = [p[0].at[1].set(0), p[1].at[1].set(0), p[2].at[1].set(0)]  # p inf
+    rx, ry, rz = pf.f_madd_aff(*(_rows_of(t) for t in p + q), pf.FP_C)
+    for i in range(n):
+        a = jc.limbs_to_g1(tuple(np.asarray(c[i]) for c in p))
+        b = jc.limbs_to_g1(tuple(np.asarray(c[i]) for c in q))
+        g = _point_of((rx, ry, rz), i, jc)
+        assert ec.G1_CURVE.eq(g, ec.G1_CURVE.add(a, b)), i

@@ -137,7 +137,7 @@ class AESProverService:
         from ..circuits import aes_v2 as av
         from ..field import limb
         from ..field.params import FR
-        from ..groth16.prove import lookup_challenge
+        from ..groth16.prove import lookup_challenges
 
         key_len = av.VARIANTS[self.cipher]["key_bytes"]
         if len(key) != key_len:
@@ -165,8 +165,7 @@ class AESProverService:
         d_aff, ds_aff = self.prover.commit(z1_pad)
 
         slots = [int(s) for s in self.cs.challenge_vars]
-        eta1 = lookup_challenge(d_aff, slots[0])
-        eta2 = lookup_challenge(d_aff, slots[1])
+        eta1, eta2 = lookup_challenges(d_aff, slots)
         e1 = limb.encode([eta1], FR, mont=False)
         e2 = limb.encode([eta2], FR, mont=False)
         z2 = np.asarray(self._wfn(nb, cnt, ptb, ctb, kb, e1, e2))[0]
@@ -180,7 +179,12 @@ class AESProverService:
         proof = self.prover.prove_general(
             z_mont, z2_pad, d_aff=d_aff, dsig_aff=ds_aff
         )
-        return proof_to_bytes_committed(proof), ct
+        # gnark proof.WriteTo bytes, same as the reference serves for every
+        # cipher (provers.go:152-157): Ar | Bs | Krs | nbCommitments=1 |
+        # D | PoK.  The legacy ZKT2 encoding remains verifier-readable.
+        from ..compat.gnark import proof_to_gnark_bytes
+
+        return proof_to_gnark_bytes(proof), ct
 
 
 def proof_to_bytes_committed(proof) -> bytes:
@@ -317,23 +321,65 @@ class GnarkChaChaProverService:
     vk.chacha20 and ship as gnark proof bytes."""
 
     def __init__(self, gnark_r1cs, cs, pk):
+        from ..compat import fast_solver as fs
         from ..groth16.prove import Prover
 
         self.r1 = gnark_r1cs
         self.cs = cs
         self.prover = Prover(cs, pk, assemble_on_host=_host_assemble())
+        # Production solver: the compiled int64 leveled replay (~10 ms)
+        # instead of the sequential big-int walk (~seconds) — VERDICT r4
+        # item 4.  Compiled once per init and VALIDATED against the big-int
+        # oracle on one fixed vector; falls back to the oracle path if the
+        # stream is outside the vectorizable subset.
+        try:
+            self._vsolver = fs.VectorSolver(gnark_r1cs)
+            self._validate_vsolver()
+        except fs.Unsupported as e:
+            print(f"GnarkChaChaProverService: big-int solver fallback ({e})")
+            self._vsolver = None
+
+    def _validate_vsolver(self):
+        from ..compat.gnark_r1cs import solve_witness
+        from ..field.params import P_FR
+
+        rng = np.random.default_rng(0xC0FFEE)
+        key = bytes(rng.integers(0, 256, 32, dtype=np.uint8))
+        nonce = bytes(rng.integers(0, 256, 12, dtype=np.uint8))
+        inp = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+        counter = 7
+        ct = _native_chacha_ct(key, nonce, counter, inp)
+        pub = chacha_public_bits(counter, nonce, pt=inp, ct=ct)
+        keybits = self._key_bits(key)
+        want = solve_witness(self.r1, pub, keybits)
+        got = self._vsolver.solve(pub, keybits)
+        got_mod = np.where(got < 0, got + P_FR, got).astype(object)
+        if [int(v) for v in got_mod] != [int(v) for v in want]:
+            raise RuntimeError(
+                "VectorSolver disagrees with the big-int witness oracle"
+            )
+
+    @staticmethod
+    def _key_bits(key: bytes):
+        kw = struct.unpack("<8I", key)
+        return [(w >> i) & 1 for w in kw for i in range(32)]
 
     def prove(self, key: bytes, nonce: bytes, counter: int, inp: bytes):
+        from ..compat import fast_solver as fs
         from ..compat.bridge import witness_ternary
         from ..compat.gnark import proof_to_gnark_bytes
         from ..compat.gnark_r1cs import solve_witness
+        from ..utils.metrics import stage
 
         _chacha_lengths(key, nonce, inp)
         ct = _native_chacha_ct(key, nonce, counter, inp)
         pub = chacha_public_bits(counter, nonce, pt=inp, ct=ct)
-        kw = struct.unpack("<8I", key)
-        keybits = [(w >> i) & 1 for w in kw for i in range(32)]
-        zt = witness_ternary(solve_witness(self.r1, pub, keybits))
+        keybits = self._key_bits(key)
+        with stage("gnark.witness_solve"):
+            if self._vsolver is not None:
+                zt = fs.ternary_codes(self._vsolver.solve(pub, keybits))
+            else:
+                zt = witness_ternary(solve_witness(self.r1, pub, keybits))
         proof = self.prover.prove_tern(zt)
         return proof_to_gnark_bytes(proof), ct
 
@@ -507,6 +553,7 @@ class AESVerifierService:
         self.vk = vk
 
     def verify(self, proof_bytes: bytes, public_signals: bytes) -> bool:
+        from ..compat.gnark import GnarkDecodeError, proof_from_gnark_bytes
         from ..groth16.verify import verify as g16_verify
 
         if len(public_signals) != 144:
@@ -516,10 +563,15 @@ class AESVerifierService:
         counter = struct.unpack(">I", public_signals[76:80])[0]  # BE
         pt = public_signals[80:144]
         try:
-            proof = proof_from_bytes_committed(proof_bytes)
-        except ValueError:
+            if proof_bytes[:4] == b"ZKT2":  # legacy committed encoding
+                proof = proof_from_bytes_committed(proof_bytes)
+            else:  # gnark proof.WriteTo bytes — the wire default, as for chacha
+                proof = proof_from_gnark_bytes(proof_bytes)
+        except (ValueError, GnarkDecodeError, IndexError):
             return False
-        pub = list(nonce) + [counter] + list(pt) + list(ct) + [0, 0]
+        pub = list(nonce) + [counter] + list(pt) + list(ct) + [0] * len(
+            self.vk.challenge_slots
+        )
         return g16_verify(proof, self.vk, pub)
 
 
@@ -552,12 +604,14 @@ def load_verifiers_from_dir(path: str) -> None:
         raw = open(fp, "rb").read()
         if raw[:1] == b"{":
             register_verifier(cipher, VerifyingKey.from_json_dict(_json.loads(raw)))
-        elif cipher == "chacha20":
+        else:
+            # the reference's own gnark binary vks — chacha directly, AES
+            # via the pedersen-form PoK + trailing challenge slots
+            # (bridge.verifying_key_from_gnark)
             from ..compat.bridge import verifying_key_from_gnark
             from ..compat.gnark import read_vk
 
             register_verifier(cipher, verifying_key_from_gnark(read_vk(raw)))
-        # gnark AES vks need the BSB22 challenge conversion (staged)
 
 
 def verify(params_json: bytes) -> bool:

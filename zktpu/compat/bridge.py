@@ -256,12 +256,26 @@ def witness_ternary(z_ints) -> np.ndarray:
 
 
 def verifying_key_from_gnark(gvk: GnarkVerifyingKey) -> VerifyingKey:
-    """GnarkVerifyingKey -> our pairing-side VerifyingKey (pure-R1CS form;
-    the BSB22 commitment extension is converted separately for AES)."""
+    """GnarkVerifyingKey -> our pairing-side VerifyingKey.
+
+    Lookup vks (the reference's binary vk.aes128/vk.aes256) carry gnark's
+    pedersen PoK pair (G, GRootSigmaNeg) — stored as-is; groth16.verify
+    runs the gnark-form check e(D, GRootSigmaNeg) * e(D_sigma, G) == 1.
+    gnark appends the commitment wires AFTER the regular publics, so the
+    challenge slots are the trailing instance indices (one per commitment).
+    NOTE: end-to-end validation against a gnark-produced AES proof is
+    impossible in this snapshot (pk.aes* stripped upstream,
+    .MISSING_LARGE_BLOBS); the conversion is exercised structurally in
+    test_gnark_compat."""
+    ncomm = len(gvk.public_and_commitment_committed)
+    slots = [len(gvk.ic) - ncomm + i for i in range(ncomm)]
     return VerifyingKey(
         alpha_g1=gvk.alpha_g1,
         beta_g2=gvk.beta_g2,
         gamma_g2=gvk.gamma_g2,
         delta_g2=gvk.delta_g2,
         ic=list(gvk.ic),
+        challenge_slots=slots if gvk.pedersen_g is not None else [],
+        pedersen_g=gvk.pedersen_g,
+        pedersen_g_root_sigma_neg=gvk.pedersen_g_root_sigma_neg,
     )

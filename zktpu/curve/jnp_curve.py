@@ -233,6 +233,73 @@ def point_add(F, p, q):
     return x3, y3, z3
 
 
+def point_add_nodbl(F, p, q):
+    """Jacobian + Jacobian WITHOUT the doubling fallback (16 muls vs 23).
+
+    Sound only when the operands cannot be the same point — see
+    pallas_f32.f_padd_nodbl for the CRS-disjointness argument.  The G1
+    pallas kernel takes over on TPU; this jnp version is the CPU/test
+    path and the G2 fallback.  Cancellation (p = -q) is branch-free:
+    h = 0 zeroes z3."""
+    if _pallas_n(F, p) and p[0].shape == q[0].shape and not isinstance(F, Fp2Ops):
+        from . import pallas_f32
+
+        return pallas_f32.point_add_nodbl(p, q)
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    p_inf = F.is_zero(z1)
+    q_inf = F.is_zero(z2)
+    z1z1, z2z2 = _bmul(F, [(z1, z1), (z2, z2)])
+    u1, u2, w1, w2 = _bmul(
+        F, [(x1, z2z2), (x2, z1z1), (z2z2, z2), (z1z1, z1)]
+    )
+    s1, s2 = _bmul(F, [(y1, w1), (y2, w2)])
+    h = F.sub(u2, u1)
+    r = F.sub(s2, s1)
+    h2 = F.add(h, h)
+    i, zz = _bmul(F, [(h2, h2), (z1, z2)])
+    r2 = F.add(r, r)
+    zz2 = F.add(zz, zz)
+    j, v, rr, z3 = _bmul(F, [(h, i), (u1, i), (r2, r2), (zz2, h)])
+    x3 = F.sub(F.sub(rr, j), F.add(v, v))
+    s1j, y3r = _bmul(F, [(s1, j), (r2, F.sub(v, x3))])
+    y3 = F.sub(y3r, F.add(s1j, s1j))
+    x3 = F.select(p_inf, x2, F.select(q_inf, x1, x3))
+    y3 = F.select(p_inf, y2, F.select(q_inf, y1, y3))
+    z3 = F.select(p_inf, z2, F.select(q_inf, z1, z3))
+    return x3, y3, z3
+
+
+def point_madd_aff(F, p, q):
+    """Affine + affine (Z1, Z2 in {0, 1-mont}) -> Jacobian: 6 muls.
+
+    The fixed-base merge tree's first level; same no-doubling contract as
+    point_add_nodbl.  mmadd-2007-bl with Z1 = Z2 = 1: no Z products at
+    all, Z3 = 2H."""
+    if _pallas_n(F, p) and p[0].shape == q[0].shape and not isinstance(F, Fp2Ops):
+        from . import pallas_f32
+
+        return pallas_f32.point_madd_aff(p, q)
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    p_inf = F.is_zero(z1)
+    q_inf = F.is_zero(z2)
+    h = F.sub(x2, x1)
+    r = F.sub(y2, y1)
+    h2 = F.add(h, h)
+    (i,) = _bmul(F, [(h2, h2)])
+    r2 = F.add(r, r)
+    j, v, rr = _bmul(F, [(h, i), (x1, i), (r2, r2)])
+    x3 = F.sub(F.sub(rr, j), F.add(v, v))
+    y1j, y3r = _bmul(F, [(y1, j), (r2, F.sub(v, x3))])
+    y3 = F.sub(y3r, F.add(y1j, y1j))
+    z3 = h2
+    x3 = F.select(p_inf, x2, F.select(q_inf, x1, x3))
+    y3 = F.select(p_inf, y2, F.select(q_inf, y1, y3))
+    z3 = F.select(p_inf, z2, F.select(q_inf, z1, z3))
+    return x3, y3, z3
+
+
 def point_madd(F, p, qx, qy, q_inf):
     """Mixed addition: Jacobian p + affine (qx, qy) with explicit inf mask.
 

@@ -180,6 +180,67 @@ def f_padd(x1, y1, z1, x2, y2, z2, c):
     return x3, y3, z3
 
 
+def f_padd_nodbl(x1, y1, z1, x2, y2, z2, c):
+    """Jacobian + Jacobian WITHOUT the doubling fallback: 16 muls vs 23.
+
+    Sound whenever the two operands cannot be the same point — the
+    fixed-base H-MSM merge tree adds partial sums of DISJOINT non-empty
+    subsets of the CRS h_query (distinct powers tau^i * G and their
+    2^(16w) shift copies), where an equal pair would imply a linear
+    relation among CRS points (finding one breaks DLOG).  Cancellation
+    p = -q needs no branch: h = 0 makes z3 = 2*z1*z2*h = 0 = infinity,
+    which is the correct sum.  Infinity operands are handled by selects."""
+    p_inf = f_is_zero(z1)
+    q_inf = f_is_zero(z2)
+    z1z1 = f_sqr(z1, c)
+    z2z2 = f_sqr(z2, c)
+    u1 = f_mul(x1, z2z2, c)
+    u2 = f_mul(x2, z1z1, c)
+    s1 = f_mul(y1, f_mul(z2z2, z2, c), c)
+    s2 = f_mul(y2, f_mul(z1z1, z1, c), c)
+    h = f_sub(u2, u1, c)
+    r = f_sub(s2, s1, c)
+    i = f_sqr(f_add(h, h, c), c)
+    j = f_mul(h, i, c)
+    r2 = f_add(r, r, c)
+    v = f_mul(u1, i, c)
+    x3 = f_sub(f_sub(f_sqr(r2, c), j, c), f_add(v, v, c), c)
+    s1j = f_mul(s1, j, c)
+    y3 = f_sub(f_mul(r2, f_sub(v, x3, c), c), f_add(s1j, s1j, c), c)
+    zz = f_mul(z1, z2, c)
+    z3 = f_mul(f_add(zz, zz, c), h, c)
+    x3 = _sel(p_inf, x2, _sel(q_inf, x1, x3))
+    y3 = _sel(p_inf, y2, _sel(q_inf, y1, y3))
+    z3 = _sel(p_inf, z2, _sel(q_inf, z1, z3))
+    return x3, y3, z3
+
+
+def f_madd_aff(x1, y1, z1, x2, y2, z2, c):
+    """Affine + affine (both Z in {0, 1}) -> Jacobian: 6 muls.
+
+    The first merge-tree level — HALF of all tree adds — adds two lifted
+    query points, so Z1 = Z2 = 1 collapses mmadd-2007-bl: u = x, s = y and
+    no Z products.  Same no-doubling soundness contract as f_padd_nodbl;
+    cancellation again falls out of z3 = 2h = 0."""
+    p_inf = f_is_zero(z1)
+    q_inf = f_is_zero(z2)
+    h = f_sub(x2, x1, c)
+    r = f_sub(y2, y1, c)
+    h2 = f_add(h, h, c)
+    i = f_sqr(h2, c)
+    j = f_mul(h, i, c)
+    v = f_mul(x1, i, c)
+    r2 = f_add(r, r, c)
+    x3 = f_sub(f_sub(f_sqr(r2, c), j, c), f_add(v, v, c), c)
+    y1j = f_mul(y1, j, c)
+    y3 = f_sub(f_mul(r2, f_sub(v, x3, c), c), f_add(y1j, y1j, c), c)
+    z3 = h2
+    x3 = _sel(p_inf, x2, _sel(q_inf, x1, x3))
+    y3 = _sel(p_inf, y2, _sel(q_inf, y1, y3))
+    z3 = _sel(p_inf, z2, _sel(q_inf, z1, z3))
+    return x3, y3, z3
+
+
 # ------------------------------------------------------------- Fp2 tower
 # Fp2 = Fp[u]/(u^2+1); an element is a PAIR of digit-row lists.  Karatsuba
 # over the f32 digit rows: the cross term multiplies un-normalized digit sums
@@ -299,6 +360,24 @@ def _pdbl_kernel(x, y, z, ox, oy, oz):
     _store(oz, rz)
 
 
+def _padd_nodbl_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+    rx, ry, rz = f_padd_nodbl(
+        _rows(x1), _rows(y1), _rows(z1), _rows(x2), _rows(y2), _rows(z2), FP_C
+    )
+    _store(ox, rx)
+    _store(oy, ry)
+    _store(oz, rz)
+
+
+def _madd_aff_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+    rx, ry, rz = f_madd_aff(
+        _rows(x1), _rows(y1), _rows(z1), _rows(x2), _rows(y2), _rows(z2), FP_C
+    )
+    _store(ox, rx)
+    _store(oy, ry)
+    _store(oz, rz)
+
+
 def _padd2_kernel(x10, x11, y10, y11, z10, z11, x20, x21, y20, y21, z20, z21,
                   ox0, ox1, oy0, oy1, oz0, oz1):
     rx, ry, rz = f2_padd(
@@ -342,6 +421,8 @@ def _call(kind, n, interpret):
     spec = pl.BlockSpec((D, tile), lambda i: (0, i))
     kern, n_in, n_out = {
         "padd": (_padd_kernel, 6, 3),
+        "padd_nodbl": (_padd_nodbl_kernel, 6, 3),
+        "madd_aff": (_madd_aff_kernel, 6, 3),
         "pdbl": (_pdbl_kernel, 3, 3),
         "padd2": (_padd2_kernel, 12, 6),
         "pdbl2": (_pdbl2_kernel, 6, 6),
@@ -388,6 +469,30 @@ def point_add(p, q, interpret=False):
     args = [to_f32_digits(t) for t in (*p, *q)]
     n = args[0].shape[1]
     rx, ry, rz = _call("padd", n, interpret)(*args)
+    return (
+        from_f32_digits(rx, shape),
+        from_f32_digits(ry, shape),
+        from_f32_digits(rz, shape),
+    )
+
+
+def point_add_nodbl(p, q, interpret=False):
+    shape = p[0].shape
+    args = [to_f32_digits(t) for t in (*p, *q)]
+    n = args[0].shape[1]
+    rx, ry, rz = _call("padd_nodbl", n, interpret)(*args)
+    return (
+        from_f32_digits(rx, shape),
+        from_f32_digits(ry, shape),
+        from_f32_digits(rz, shape),
+    )
+
+
+def point_madd_aff(p, q, interpret=False):
+    shape = p[0].shape
+    args = [to_f32_digits(t) for t in (*p, *q)]
+    n = args[0].shape[1]
+    rx, ry, rz = _call("madd_aff", n, interpret)(*args)
     return (
         from_f32_digits(rx, shape),
         from_f32_digits(ry, shape),

@@ -34,7 +34,7 @@ from ..curve import ref_ec as ec
 from ..field.jnp_field import JnpField
 from ..field.params import FR, P_FR, NLIMBS, int_to_limbs
 from ..msm import pippenger as pp
-from ..ntt.ntt import Domain, coset_intt, coset_ntt, intt
+from ..ntt.ntt import Domain
 from ..r1cs.builder import CompiledR1CS
 from .setup import ProvingKey
 
@@ -77,8 +77,9 @@ class Proof:
 
 
 def lookup_challenge(d_aff: tuple, slot: int) -> int:
-    """Fiat-Shamir challenge for lookup circuits: H(commitment, slot) mod r.
-    The verifier recomputes this for every vk.challenge_slots entry."""
+    """LEGACY Fiat-Shamir challenge (zktpu-lookup-v1): H(commitment, slot)
+    mod r.  Kept behind ZKTPU_LOOKUP_CHALLENGE=v1; the default derivation is
+    gnark's BSB22 hash-to-field (lookup_challenges below)."""
     msg = (
         b"zktpu-lookup-v1"
         + int(d_aff[0]).to_bytes(32, "big")
@@ -86,6 +87,60 @@ def lookup_challenge(d_aff: tuple, slot: int) -> int:
         + slot.to_bytes(4, "big")
     )
     return int.from_bytes(hashlib.sha512(msg).digest(), "big") % P_FR
+
+
+def expand_message_xmd(msg: bytes, dst: bytes, length: int) -> bytes:
+    """RFC 9380 §5.3.1 expand_message_xmd with SHA-256 — the expansion
+    gnark-crypto's fr.Hash uses (hash_to_field.go [dep] go.mod:9).  Pinned
+    against the RFC's own test vectors in test_lookup_e2e."""
+    assert len(dst) <= 255
+    ell = (length + 31) // 32
+    assert ell <= 255
+    dst_prime = dst + bytes([len(dst)])
+    b0 = hashlib.sha256(
+        bytes(64) + msg + length.to_bytes(2, "big") + b"\x00" + dst_prime
+    ).digest()
+    b_prev = hashlib.sha256(b0 + b"\x01" + dst_prime).digest()
+    out = [b_prev]
+    for i in range(2, ell + 1):
+        xored = bytes(x ^ y for x, y in zip(b0, b_prev))
+        b_prev = hashlib.sha256(xored + bytes([i]) + dst_prime).digest()
+        out.append(b_prev)
+    return b"".join(out)[:length]
+
+
+GNARK_COMMITMENT_DST = b"bsb22-commitment"  # constraint.CommitmentDst [dep]
+
+
+def fr_hash(msg: bytes, dst: bytes, count: int) -> list[int]:
+    """gnark-crypto fr.Hash semantics: expand_message_xmd(SHA-256) to
+    count*48 bytes (L = ceil((254+128)/8)), each 48-byte chunk big-endian
+    mod r."""
+    L = 48
+    pseudo = expand_message_xmd(msg, dst, count * L)
+    return [
+        int.from_bytes(pseudo[i * L : (i + 1) * L], "big") % P_FR
+        for i in range(count)
+    ]
+
+
+def lookup_challenges(d_aff: tuple, slots) -> list[int]:
+    """Challenges for the lookup-commitment wires, in slot order.
+
+    Default = gnark's BSB22 derivation (backend/groth16 solveCommitmentWire
+    [dep] go.mod:8): fr.Hash(SerializeCommitment(D.Marshal(), publicCommitted,
+    32), "bsb22-commitment", 1) where D.Marshal() is the UNCOMPRESSED 64-byte
+    x||y big-endian G1 encoding and our circuits commit no public wires
+    (publicCommitted = []).  gnark derives ONE challenge per commitment; our
+    aes_v2 re-own needs two (eta1, eta2), so count = len(slots) outputs are
+    drawn from the SAME expansion — byte-identical to gnark for the
+    one-challenge case (the decoded reference AES r1cs, test_gnark_aes_r1cs).
+    ZKTPU_LOOKUP_CHALLENGE=v1 restores the legacy zktpu-lookup-v1 hash."""
+    slots = list(slots)
+    if os.environ.get("ZKTPU_LOOKUP_CHALLENGE", "gnark") == "v1":
+        return [lookup_challenge(d_aff, s) for s in slots]
+    msg = int(d_aff[0]).to_bytes(32, "big") + int(d_aff[1]).to_bytes(32, "big")
+    return fr_hash(msg, GNARK_COMMITMENT_DST, len(slots))
 
 
 def _coeffs_r2(coeffs) -> np.ndarray:
@@ -294,15 +349,24 @@ class Prover:
         return m[: self.n], m[self.n : 2 * self.n], m[2 * self.n :]
 
     def _quotient(self, az, bz, cz):
+        """H = (A.B - C)/Z on the coset, with every elementwise scale FUSED
+        (VERDICT r4 item 1): 1/N + g^k collapse into one table between the
+        transforms, and 1/N + 1/Z + g^-k + from_mont collapse into one
+        PLAIN-form table after the last (Z is constant on the coset so it
+        commutes through the linear transform) — 3 full-width mul passes
+        where the unfused chain had 7."""
+        from ..ntt.ntt import core_raw, ntt as ntt_fwd
+
         d = self.domain
-        cos = coset_ntt(intt(jnp.stack([az, bz, cz]), d), d)  # one batched pass
+        y = core_raw(jnp.stack([az, bz, cz]), d, inverse=True)
+        y = F.mont_mul(y, jnp.asarray(d.q_scale_fwd))
+        cos = ntt_fwd(y, d)
         a_cos, b_cos, c_cos = cos[0], cos[1], cos[2]
         prod = F.sub(F.mont_mul(a_cos, b_cos), c_cos)
-        h_cos = F.mont_mul(prod, jnp.asarray(d.z_coset_inv_mont))
-        h = coset_intt(h_cos, d)
+        h = core_raw(prod, d, inverse=True)
+        h = F.mont_mul(h, jnp.asarray(d.q_scale_inv_plain))  # -> canonical
         # degree <= N-2: the top coefficient must vanish; zero its scalar slot
-        h = h.at[-1].set(jnp.zeros(NLIMBS, jnp.uint32))
-        return F.from_mont(h)
+        return h.at[-1].set(jnp.zeros(NLIMBS, jnp.uint32))
 
     def _h_scalars_impl(self, zbits):
         """zbits (nv,) -> H-query scalars (N, 16) canonical digits."""

@@ -133,30 +133,43 @@ class VerifyingKey:
     # read from the statement.  sigma_g2 is None for pure-R1CS circuits.
     sigma_g2: tuple = None
     challenge_slots: list = dataclasses.field(default_factory=list)
+    # gnark-pedersen form of the PoK key (vk.aes* loaded from the reference's
+    # binary files, compat.gnark.GnarkVerifyingKey): the check becomes
+    # e(D, g_root_sigma_neg) * e(D_sigma, g) == 1 instead of the sigma form.
+    pedersen_g: tuple = None  # G2
+    pedersen_g_root_sigma_neg: tuple = None  # G2
 
     def to_json_dict(self) -> dict:
+        def g2j(v):
+            return [list(c) for c in v] if v else None
+
         return {
             "alpha_g1": list(self.alpha_g1),
             "beta_g2": [list(c) for c in self.beta_g2],
             "gamma_g2": [list(c) for c in self.gamma_g2],
             "delta_g2": [list(c) for c in self.delta_g2],
             "ic": [list(p) if p is not None else None for p in self.ic],
-            "sigma_g2": [list(c) for c in self.sigma_g2] if self.sigma_g2 else None,
+            "sigma_g2": g2j(self.sigma_g2),
             "challenge_slots": list(map(int, self.challenge_slots)),
+            "pedersen_g": g2j(self.pedersen_g),
+            "pedersen_g_root_sigma_neg": g2j(self.pedersen_g_root_sigma_neg),
         }
 
     @classmethod
     def from_json_dict(cls, d: dict) -> "VerifyingKey":
+        def g2p(v):
+            return tuple(tuple(c) for c in v) if v else None
+
         return cls(
             alpha_g1=tuple(d["alpha_g1"]),
             beta_g2=tuple(tuple(c) for c in d["beta_g2"]),
             gamma_g2=tuple(tuple(c) for c in d["gamma_g2"]),
             delta_g2=tuple(tuple(c) for c in d["delta_g2"]),
             ic=[tuple(p) if p is not None else None for p in d["ic"]],
-            sigma_g2=(
-                tuple(tuple(c) for c in d["sigma_g2"]) if d.get("sigma_g2") else None
-            ),
+            sigma_g2=g2p(d.get("sigma_g2")),
             challenge_slots=list(d.get("challenge_slots", [])),
+            pedersen_g=g2p(d.get("pedersen_g")),
+            pedersen_g_root_sigma_neg=g2p(d.get("pedersen_g_root_sigma_neg")),
         )
 
 

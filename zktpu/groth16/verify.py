@@ -58,6 +58,9 @@ def _prepared(vk: VerifyingKey):
         }
         if vk.sigma_g2 is not None:
             prep["sigma"] = _prep_one(_g2_point(vk.sigma_g2))
+        if getattr(vk, "pedersen_g", None) is not None:
+            prep["ped_g"] = _prep_one(_g2_point(vk.pedersen_g))
+            prep["ped_grsn"] = _prep_one(_g2_point(vk.pedersen_g_root_sigma_neg))
         vk._pairing_prep = prep
     return prep
 
@@ -87,10 +90,9 @@ def verify(proof: Proof, vk: VerifyingKey, public_inputs: list[int]) -> bool:
             return False
 
         public_inputs = [int(v) % ec.R_ORDER for v in public_inputs]
-        extra_pairs = []
         d_pt = None
-        if vk.sigma_g2 is not None:
-            from .prove import lookup_challenge
+        if vk.sigma_g2 is not None or vk.pedersen_g is not None:
+            from .prove import lookup_challenges
 
             if proof.d is None or proof.d_sigma is None:
                 return False
@@ -100,17 +102,27 @@ def verify(proof: Proof, vk: VerifyingKey, public_inputs: list[int]) -> bool:
                 ec.G1_CURVE.is_on_curve(d_pt) and ec.G1_CURVE.is_on_curve(ds_pt)
             ):
                 return False
-            # proof of knowledge: e(D, sigma*G2) * e(-D_sigma, G2) == 1
             prep = _prepared(vk)
-            if not ec.multi_pairing_is_one(
-                [
+            if vk.sigma_g2 is not None:
+                # our setup's sigma form:
+                # e(D, sigma*G2) * e(-D_sigma, G2) == 1
+                pok_pairs = [
                     (d_pt, prep["sigma"]),
                     (ec.G1_CURVE.neg(ds_pt), prep["g2"]),
                 ]
-            ):
+            else:
+                # gnark-pedersen form (reference binary vk.aes*):
+                # e(D, GRootSigmaNeg) * e(D_sigma, G) == 1
+                # (gnark-crypto pedersen.VerifyingKey [dep] go.mod:9)
+                pok_pairs = [
+                    (d_pt, prep["ped_grsn"]),
+                    (ds_pt, prep["ped_g"]),
+                ]
+            if not ec.multi_pairing_is_one(pok_pairs):
                 return False
-            for slot in vk.challenge_slots:
-                public_inputs[slot - 1] = lookup_challenge(proof.d, slot)
+            chals = lookup_challenges(proof.d, vk.challenge_slots)
+            for slot, chal in zip(vk.challenge_slots, chals):
+                public_inputs[slot - 1] = chal
 
         vk_x = _g1_point(vk.ic[0])
         for val, icp in zip(public_inputs, vk.ic[1:]):

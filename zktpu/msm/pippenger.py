@@ -159,7 +159,8 @@ def stage_reduce(BX, BY, BZ, ops=jc.G1):
 TREE_TAIL_WIDTH = 2048  # fixed-width fori takes over once a level is this small
 
 
-def _merge_level(ops, fid, lid, first, last, B, live_pairs=None, nbuckets=NBUCKETS):
+def _merge_level(ops, fid, lid, first, last, B, live_pairs=None, nbuckets=NBUCKETS,
+                 add_fn=None):
     """One merge-tree level: pair adjacent blocks, ONE point add per pair.
 
     fid/lid (W, m): first/last segment digit of each block; first/last:
@@ -167,7 +168,9 @@ def _merge_level(ops, fid, lid, first, last, B, live_pairs=None, nbuckets=NBUCKE
     B: bucket triple (W, NBUCKETS, coord) — completed segments are flushed
     into it with collision-free .set scatters (each bucket written once).
     live_pairs (W, m//2) bool or None: masks flushes of dead lanes (used by
-    the fixed-width tail).  Returns halved state + updated buckets."""
+    the fixed-width tail).  add_fn: the point add for the candidate merge
+    (default complete jc.point_add; the fixed-base path substitutes the
+    cheaper no-doubling kernels).  Returns halved state + updated buckets."""
     w, m = fid.shape
     half = m // 2
     cdim = first[0].ndim - 2
@@ -185,7 +188,7 @@ def _merge_level(ops, fid, lid, first, last, B, live_pairs=None, nbuckets=NBUCKE
     join = alid == bfid
     a_single = afid == alid
     b_single = bfid == blid
-    cand = jc.point_add(ops, aL, bF)  # the one add per merge
+    cand = (add_fn or jc.point_add)(ops, aL, bF)  # the one add per merge
 
     js = cexp(join & a_single)
     new_first = tuple(jnp.where(js, c, f) for c, f in zip(cand, aF))
@@ -209,7 +212,7 @@ def _merge_level(ops, fid, lid, first, last, B, live_pairs=None, nbuckets=NBUCKE
 
 
 def stage_buckets_tree(ds, px, py, Z, ops=jc.G1, nbuckets=NBUCKETS,
-                       tail=None):
+                       tail=None, add_fn=None, add_fn_l1=None):
     """Work-efficient bucket accumulation: pairwise block merging.
 
     Replaces scan+tail-scatter (O(N log N) point adds) with a binary merge
@@ -227,6 +230,10 @@ def stage_buckets_tree(ds, px, py, Z, ops=jc.G1, nbuckets=NBUCKETS,
     per window (vs N*log2(N) for the Hillis-Steele scan).
 
     ds (W, N) sorted digits; px/py/Z (W, N, coord) lifted Jacobian points.
+    add_fn/add_fn_l1: candidate-add overrides (add_fn_l1 applies to the
+    FIRST level only, where both operands are still affine-lifted Z in
+    {0,1} — the fixed-base path runs the 6-mul affine kernel there; it is
+    used only when the first level is in the unrolled head).
     Returns (BX, BY, BZ) with shape (W, NBUCKETS, coord)."""
     if tail is None:
         tail = TREE_TAIL_WIDTH
@@ -243,11 +250,14 @@ def stage_buckets_tree(ds, px, py, Z, ops=jc.G1, nbuckets=NBUCKETS,
 
     # -------- unrolled head: true shapes while levels are wide
     m = n
+    first_level = True
     while m > max(tail, 1):
+        fn = add_fn_l1 if (first_level and add_fn_l1 is not None) else add_fn
         fid, lid, first, last, B = _merge_level(
-            ops, fid, lid, first, last, B, nbuckets=nbuckets
+            ops, fid, lid, first, last, B, nbuckets=nbuckets, add_fn=fn
         )
         m //= 2
+        first_level = False
 
     # -------- fixed-width fori tail: log2(m) levels at width m
     if m > 1:
@@ -265,7 +275,8 @@ def stage_buckets_tree(ds, px, py, Z, ops=jc.G1, nbuckets=NBUCKETS,
             live = jax.lax.broadcasted_iota(jnp.int32, (w, m // 2), 1) < h
             # dead-lane fid/lid may alias real bucket ids; mask via `live`
             nfid, nlid, nfirst, nlast, B = _merge_level(
-                ops, fid, lid, first, last, B, live_pairs=live, nbuckets=nbuckets
+                ops, fid, lid, first, last, B, live_pairs=live,
+                nbuckets=nbuckets, add_fn=add_fn
             )
             return (
                 pad_back(nfid, m),
@@ -537,14 +548,35 @@ def msm_tern(points, inf_mask, zt, ops=jc.G1):
 FB_WBITS = 16
 FB_NWINDOWS = 16  # 256 bits / 16
 FB_NBUCKETS = 1 << FB_WBITS
+# signed digits d in [-2^15, 2^15): buckets indexed by |d| in [0, 2^15];
+# index 0 holds the dead zero-digit segments, 2^15 the single extreme bucket
+FB_SIGNED_NBUCKETS = (1 << (FB_WBITS - 1)) + 1
 
 
-def _axis_sum_tree(ops, T, axis):
+def scalars_to_signed_digits(scalar_limbs):
+    """(N, 16) canonical uint32 16-bit limbs -> (16, N) int32 signed digits
+    in [-2^15, 2^15) with k = sum_w d_w 2^(16 w).
+
+    Borrow recode: limbs >= 2^15 emit d - 2^16 and carry 1 into the next
+    window.  The top window absorbs the final carry because Fr scalars are
+    < 2^254 (top limb < 2^14), so no 17th window is ever needed."""
+    c = jnp.zeros(scalar_limbs.shape[:-1], jnp.int32)
+    digs = []
+    for w in range(NLIMBS):
+        t = scalar_limbs[..., w].astype(jnp.int32) + c
+        ge = t >= (1 << (FB_WBITS - 1))
+        digs.append(jnp.where(ge, t - (1 << FB_WBITS), t))
+        c = ge.astype(jnp.int32)
+    return jnp.stack(digs, axis=0)
+
+
+def _axis_sum_tree(ops, T, axis, add_fn=None):
     """Halving-tree point sum along `axis` of a bucket triple.
 
     ONE point_add instance in the graph: a fori_loop with a traced
     half-width shift.  Lanes past the live width go stale but are never
     read (step k reads lanes < h_prev only), so no masking is needed."""
+    add = add_fn or jc.point_add
     n = T[0].shape[axis]
     logn = n.bit_length() - 1
 
@@ -559,7 +591,7 @@ def _axis_sum_tree(ops, T, axis):
 
     def body(k, P):
         h = n >> (k + 1)
-        return jc.point_add(ops, P, tuple(shl(a, h) for a in P))
+        return add(ops, P, tuple(shl(a, h) for a in P))
 
     T = jax.lax.fori_loop(0, logn, body, T)
     idx = [slice(None)] * T[0].ndim
@@ -567,14 +599,15 @@ def _axis_sum_tree(ops, T, axis):
     return tuple(a[tuple(idx)] for a in T)
 
 
-def _weighted_suffix_256(ops, T):
-    """sum_j j * T[j, ...] over a length-256 axis 0 via the double-suffix
-    identity (stage_reduce's trick); each suffix scan is a fori_loop with a
-    traced doubling shift — one point_add instance per scan."""
+def _weighted_suffix(ops, T, n, add_fn=None):
+    """sum_j j * T[j, ...] over a length-n (power of two) axis 0 via the
+    double-suffix identity (stage_reduce's trick); each suffix scan is a
+    fori_loop with a traced doubling shift — one point_add instance per
+    scan."""
+    add = add_fn or jc.point_add
+    logn = n.bit_length() - 1
 
     def suffix(P):
-        n = 256
-
         def shl(a, s):
             pad = jnp.zeros_like(a)
             cat = jnp.concatenate([a, pad], axis=0)
@@ -582,32 +615,60 @@ def _weighted_suffix_256(ops, T):
 
         def body(k, P):
             s = jnp.int32(1) << k
-            return jc.point_add(ops, P, tuple(shl(a, s) for a in P))
+            return add(ops, P, tuple(shl(a, s) for a in P))
 
-        return jax.lax.fori_loop(0, 8, body, P)
+        return jax.lax.fori_loop(0, logn, body, P)
 
     S = suffix(T)
     U = suffix(S)
     return tuple(a[1] for a in U)
 
 
+def _weighted_suffix_256(ops, T):
+    return _weighted_suffix(ops, T, 256)
+
+
 class FixedBaseMSM:
     """MSM over a FIXED point set (the Groth16 H query — constant per
-    proving key) with 16-bit windows.
+    proving key) with SIGNED 16-bit windows.
 
     The shifted copies Q[w, i] = 2^(16 w) * P_i are precomputed ON DEVICE
     once, so every per-proof window digit indexes its own pre-shifted point
-    and all 16 windows fold into ONE flat bucket accumulation over 2^16
-    buckets: ~16N merge-tree adds total versus 32N for the generic 8-bit
-    Pippenger (plus a cheaper hierarchical bucket reduction and NO window
-    Horner).  gnark's CPU analog is the c=13 signed-digit batch-affine MSM
-    (BASELINE.md pgo analysis); this is the TPU-shaped counterpart —
-    sort + segment-merge instead of data-dependent scatter.
+    and all 16 windows fold into ONE flat bucket accumulation: ~16N
+    merge-tree adds total versus 32N for the generic 8-bit Pippenger (plus
+    a cheaper hierarchical bucket reduction and NO window Horner).  gnark's
+    CPU analog is the c=13 signed-digit batch-affine MSM (BASELINE.md pgo
+    analysis); this is the TPU-shaped counterpart — sort + segment-merge
+    instead of data-dependent scatter.
 
-    Bucket reduction: sum_j j*B_j over j = 256*hi + lo decomposes as
-      256 * sum_hi hi*rowsum[hi] + sum_lo lo*colsum[lo]
-    with row/col sums as log-depth halving trees over the (256, 256)
-    reshape — ~130k adds, same budget as the 8-bit double-suffix."""
+    Round-5 (VERDICT r4 item 1) cost cuts, all multiplying into the ~16N
+    merge adds that own two-thirds of the proof:
+      * SIGNED digits d in [-2^15, 2^15): bucket = |d| (sign = a y-flip at
+        gather time), so live buckets drop 65536 -> 32769 and the bucket
+        reduction halves (the 256x128 hierarchical reshape + one 15-double
+        tail for the single extreme bucket |d| = 2^15).
+      * No-doubling adds: every tree/reduce add combines sums of DISJOINT
+        non-empty subsets of CRS points (tau^i G and shift images), which
+        can collide only via a linear relation among CRS powers — so the
+        16-mul point_add_nodbl replaces the 23-mul complete add, and the
+        FIRST tree level (half of all tree adds: both operands still
+        affine) runs the 6-mul point_madd_aff.  REQUIRED CONTRACT: the
+        point set must be pairwise distinct (infinity padding is fine —
+        handled by selects); a duplicate pair landing in one bucket would
+        silently produce infinity instead of the double.  Groth16 h_query
+        = distinct powers of tau satisfies this unconditionally.
+      * GLV analyzed, NOT adopted (VERDICT r4 named it): for a fixed-base
+        MSM with precomputed window shifts the total digit count is
+        invariant — splitting k into two 128-bit halves doubles the point
+        set (phi-images) while halving windows per half, leaving
+        windows*points = 16N unchanged; unlike variable-base Pippenger
+        (where rounds = windows) there is no bucket-mass or add-count win,
+        only 2x precompute HBM.  See BENCHMARKS.md.
+
+    Bucket reduction: sum_j j*B_j over j = 128*hi + lo decomposes as
+      128 * sum_hi hi*rowsum[hi] + sum_lo lo*colsum[lo]
+    with row/col sums as log-depth halving trees over the (256, 128)
+    reshape — ~65k adds (half the unsigned budget)."""
 
     def __init__(self, points, inf_mask, ops=jc.G1, tail=None):
         # tail: fori-tail takeover width for the merge tree.  Wider tail =
@@ -628,7 +689,9 @@ class FixedBaseMSM:
         self._prepare = jax.jit(functools.partial(self._prepare_impl, ops=ops))
         self._tree = jax.jit(
             functools.partial(
-                stage_buckets_tree, ops=ops, nbuckets=FB_NBUCKETS, tail=tail
+                stage_buckets_tree, ops=ops, nbuckets=FB_SIGNED_NBUCKETS,
+                tail=tail, add_fn=jc.point_add_nodbl,
+                add_fn_l1=jc.point_madd_aff,
             )
         )
         self._reduce = jax.jit(functools.partial(self._reduce_hier, ops=ops))
@@ -664,28 +727,47 @@ class FixedBaseMSM:
 
     @staticmethod
     def _prepare_impl(QX, QY, QZ, scalar_limbs, ops):
-        """(N, 16) canonical 16-bit limbs -> sorted flat digit/point arrays
-        with the W=1 leading axis the merge tree expects.  The window-w
-        digit IS limb w, so digits_flat[w*N + i] pairs with Q[w*N + i]."""
-        d_flat = scalar_limbs.T.reshape(-1)  # (16N,)
+        """(N, 16) canonical 16-bit limbs -> signed-digit recode, then
+        sorted flat |digit|/point arrays with the W=1 leading axis the
+        merge tree expects.  The window-w digit pairs with Q[w*N + i];
+        negative digits flip the gathered point's y (neg maps the infinity
+        slot's y = 0 to 0, so the mask layout survives)."""
+        d = scalars_to_signed_digits(scalar_limbs)  # (16, N) int32
+        d_flat = jnp.abs(d).astype(jnp.uint32).reshape(-1)  # (16N,)
+        neg_flat = (d < 0).reshape(-1)
         order = jnp.argsort(d_flat)
         ds = jnp.take(d_flat, order)
+        nf = jnp.take(neg_flat, order)
         px = jnp.take(QX, order, axis=0)
         py = jnp.take(QY, order, axis=0)
         pz = jnp.take(QZ, order, axis=0)
+        cdim = (1,) * (py.ndim - 1)
+        py = jnp.where(nf.reshape((-1,) + cdim), ops.neg(py), py)
         return ds[None], px[None], py[None], pz[None]
 
     def _reduce_hier(self, BX, BY, BZ, ops):
-        """(1, 65536, coord) buckets -> one Jacobian point sum_j j*B_j."""
+        """(1, 32769, coord) signed buckets -> sum_j j*B_j.
+
+        Main block j in [0, 2^15): hierarchical (256, 128) reshape; the
+        single extreme bucket j = 2^15 is 15 doublings + 1 add.  All
+        interior adds combine disjoint bucket sets -> no-doubling kernel."""
+        nodbl = jc.point_add_nodbl
         cshape = BX.shape[2:]
-        B = tuple(t.reshape((256, 256) + cshape) for t in (BX, BY, BZ))
-        rows = _axis_sum_tree(ops, B, axis=1)  # (256,): sum_lo B[hi, lo]
-        cols = _axis_sum_tree(ops, B, axis=0)  # (256,): sum_hi B[hi, lo]
-        wr = _weighted_suffix_256(ops, rows)  # sum_hi hi * rows[hi]
-        wc = _weighted_suffix_256(ops, cols)  # sum_lo lo * cols[lo]
-        for _ in range(8):  # * 256
+        main = tuple(
+            t[:, : FB_SIGNED_NBUCKETS - 1].reshape((256, 128) + cshape)
+            for t in (BX, BY, BZ)
+        )
+        ext = tuple(t[0, FB_SIGNED_NBUCKETS - 1] for t in (BX, BY, BZ))
+        rows = _axis_sum_tree(ops, main, axis=1, add_fn=nodbl)  # (256,)
+        cols = _axis_sum_tree(ops, main, axis=0, add_fn=nodbl)  # (128,)
+        wr = _weighted_suffix(ops, rows, 256)  # sum_hi hi * rows[hi]
+        wc = _weighted_suffix(ops, cols, 128)  # sum_lo lo * cols[lo]
+        for _ in range(7):  # * 128
             wr = jc.point_double(ops, wr)
-        return jc.point_add(ops, wr, wc)
+        acc = jc.point_add(ops, wr, wc)
+        for _ in range(FB_WBITS - 1):  # extreme bucket * 2^15
+            ext = jc.point_double(ops, ext)
+        return jc.point_add(ops, acc, ext)
 
     def __call__(self, scalar_limbs):
         ds, px, py, pz = self._prepare(*self._Q, scalar_limbs)

@@ -89,9 +89,43 @@ class Domain:
         self.n_inv_mont = int_to_limbs(FR.to_mont(self.n_inv)).astype(np.uint32)
         # Z_H(coset point) = g^N - 1, constant across the coset
         z_coset = (pow(coset_gen, n, P_FR) - 1) % P_FR
+        self.z_coset_inv = pow(z_coset, -1, P_FR)
         self.z_coset_inv_mont = int_to_limbs(
-            FR.to_mont(pow(z_coset, -1, P_FR))
+            FR.to_mont(self.z_coset_inv)
         ).astype(np.uint32)
+        self._q_scale_fwd = None
+        self._q_scale_inv_plain = None
+
+    def _power_scaled(self, base: int, scale: int, mont: bool) -> np.ndarray:
+        out = np.empty((self.n, NLIMBS), dtype=np.uint32)
+        acc = scale % P_FR
+        for i in range(self.n):
+            out[i] = int_to_limbs(FR.to_mont(acc) if mont else acc)
+            acc = acc * base % P_FR
+        return out
+
+    @property
+    def q_scale_fwd(self) -> np.ndarray:
+        """Fused iNTT+coset scale (VERDICT r4 item 1, quotient leg): one
+        table n_inv * g^k (Montgomery) replaces the separate 1/N and coset
+        elementwise passes between the inverse and forward transforms."""
+        if self._q_scale_fwd is None:
+            self._q_scale_fwd = self._power_scaled(self.coset_gen, self.n_inv, True)
+        return self._q_scale_fwd
+
+    @property
+    def q_scale_inv_plain(self) -> np.ndarray:
+        """Fused final scale n_inv * Z_H(coset)^-1 * g^-k stored in PLAIN
+        (non-Montgomery) form: mont_mul(h_mont, plain) = h * c canonical,
+        so the 1/N, 1/Z, coset-inverse AND from_mont passes collapse into
+        the one table mul (4 full-width passes -> 1)."""
+        if self._q_scale_inv_plain is None:
+            self._q_scale_inv_plain = self._power_scaled(
+                pow(self.coset_gen, -1, P_FR),
+                self.n_inv * self.z_coset_inv % P_FR,
+                False,
+            )
+        return self._q_scale_inv_plain
 
 
 def _scan_tables(domain: "Domain", inverse: bool):
@@ -173,3 +207,9 @@ def coset_intt(evals, domain: Domain):
     """Interpolate from coset evaluations back to coefficients."""
     coeffs = intt(evals, domain)
     return F.mont_mul(coeffs, jnp.asarray(domain.coset_pows_inv))
+
+
+def core_raw(x, domain: Domain, inverse: bool = False):
+    """Bare butterfly core (no 1/N, no coset scales) — for callers fusing
+    the elementwise scale passes themselves (Prover._quotient)."""
+    return _core(x, domain, inverse=inverse)
