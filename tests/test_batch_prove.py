@@ -86,3 +86,35 @@ def test_prove_device_matches_prove(tiny):
     ]
     for one, many in zip(singles, piped):
         assert (one.a, one.b, one.c) == (many.a, many.b, many.c)
+
+
+@pytest.mark.slow
+def test_batch_dp_mesh_matches_single(tiny):
+    """One-proof-per-chip DP (VERDICT r4 item 6): prove_batch(mesh=...)
+    shards the batch axis over the 8-virtual-device mesh — each chip runs
+    the whole single-proof graph locally; proofs must be byte-identical to
+    sequential prove() for the same seeds."""
+    import jax
+    from jax.sharding import Mesh
+
+    b, cs, pk, vk = tiny
+    prover = Prover(cs, pk)
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("x",))
+    rng = np.random.default_rng(21)
+    zs, pubs, seeds = [], [], []
+    for i in range(8):
+        svals = [int(x) for x in rng.integers(0, 2, 8)]
+        pvals = [int(x) for x in rng.integers(0, 2, 8)]
+        zs.append(_witness(b, cs, svals, pvals))
+        pubs.append(pvals)
+        seeds.append(b"dp-%d" % i)
+    batch = prover.prove_batch(np.stack(zs), seeds, mesh=mesh)
+    # sequential oracle: the host-reference big-int prover (milliseconds,
+    # no extra XLA compile) — independent implementation of the equations
+    from zktpu.groth16 import ref_prove
+
+    for i, (z, s) in enumerate(zip(zs, seeds)):
+        one = ref_prove.prove_reference(cs, pk, [int(v) for v in z], s)
+        assert proof_to_bytes(one) == proof_to_bytes(batch[i]), i
+    assert verify(batch[3], vk, pubs[3])

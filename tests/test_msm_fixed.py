@@ -86,3 +86,20 @@ def test_fixed_msm_negation_heavy(fixed_msm):
     S = limb.encode(scalars, FR, mont=False)
     got = jc.limbs_to_g1(msm(S))
     assert ec.G1_CURVE.eq(got, _oracle(pts, infm, scalars))
+
+
+@pytest.mark.slow
+def test_fixed_msm_unrolled_affine_level(fixed_msm):
+    """Force the unrolled head so the FIRST level runs the affine-add
+    specialization (tail < 16N): covers the round-5 on-chip bug where the
+    precomputed shift copies were still Jacobian (windows 1..15 have
+    arbitrary Z after the doubling chain) and the affine kernel silently
+    mis-added — fixed by the batch normalization in FixedBaseMSM.__init__."""
+    pts, infm, msm, rng = fixed_msm
+    m2 = pp.FixedBaseMSM(
+        jc.g1_to_limbs(pts), infm, tail=1024
+    )  # flat 16*128 = 2048 > 1024 -> one unrolled aff-L1 level
+    scalars = [int.from_bytes(rng.bytes(31), "big") % P_FR for _ in pts]
+    S = limb.encode(scalars, FR, mont=False)
+    got = jc.limbs_to_g1(m2(S))
+    assert ec.G1_CURVE.eq(got, _oracle(pts, infm, scalars))

@@ -33,6 +33,19 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+
+def retry(tag, fn, attempts=3):
+    """The axon remote-compile helper flakes transiently (INTERNAL:
+    'response body closed') — retry like bench.py does."""
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            log(f"{tag} attempt {k+1} failed: {e!r}")
+            if k == attempts - 1:
+                raise
+            time.sleep(20)
+
 log("devices:", jax.devices())
 
 from zktpu.circuits import chacha_v3 as cc  # noqa: E402
@@ -65,14 +78,13 @@ def witness_for(counter):
     )[0]
 
 t = time.time()
-z0 = witness_for(1)
+z0 = retry("witness", lambda: witness_for(1))
 np.asarray(z0)
 log(f"witness compile+run {time.time()-t:.1f}s")
 
 # --- fused h_scalars (NEW graph this round)
 t = time.time()
-h0 = prover._h_scalars(jnp.asarray(z0))
-np.asarray(h0)
+h0 = retry("h_scalars", lambda: np.asarray(prover._h_scalars(jnp.asarray(z0))))
 log(f"h_scalars(fused) compile+run {time.time()-t:.1f}s")
 for i in range(3):
     zi = witness_for(2 + i)
@@ -84,11 +96,11 @@ for i in range(3):
 # --- signed FixedBaseMSM (NEW), tail from env
 tail = int(os.environ.get("PROBE_TAIL", "16384"))
 t = time.time()
-fb = pp.FixedBaseMSM(pk.h_query, pk.h_inf, tail=tail)
+fb = retry("fixed_h_precompute", lambda: pp.FixedBaseMSM(pk.h_query, pk.h_inf, tail=tail))
 jax.block_until_ready(fb._Q)
 log(f"fixed_h(signed, tail={tail}) precompute {time.time()-t:.1f}s")
 t = time.time()
-r0 = fb(jnp.asarray(np.asarray(h0)))
+r0 = retry("fixed_h", lambda: fb(jnp.asarray(np.asarray(h0))))
 np.asarray(r0[0])
 log(f"fixed_h compile+run {time.time()-t:.1f}s")
 times = []
@@ -105,11 +117,26 @@ for i in range(4):
     log(f"fixed_h rep{i} {dt:.1f} ms (incl fetch)")
 log(f"fixed_h median-ish {sorted(times)[len(times)//2]:.1f} ms")
 
+# --- per-stage split of the fixed-H call (block_until_ready each)
+import jax as _jax
+for i in range(3):
+    zi = witness_for(20 + i)
+    hs = jnp.asarray(np.asarray(prover._h_scalars(jnp.asarray(zi))))
+    t = time.time()
+    prep = _jax.block_until_ready(fb._prepare(*fb._Q, hs))
+    t1 = time.time()
+    B = _jax.block_until_ready(fb._tree(*prep))
+    t2 = time.time()
+    r = _jax.block_until_ready(fb._reduce(*B))
+    t3 = time.time()
+    log(f"fixed_h stages rep{i}: prepare {1000*(t1-t):.1f} ms, "
+        f"tree {1000*(t2-t1):.1f} ms, reduce {1000*(t3-t2):.1f} ms")
+
 # --- cross-check vs the staged generic MSM (unchanged graph, r4-cached)
 if os.environ.get("PROBE_CHECK", "1") == "1":
     t = time.time()
     hq = prover._dev["h_query"]
-    s0 = prover._msm_g1(*hq, jnp.asarray(outs[0][0]))
+    s0 = retry("staged_msm_h", lambda: prover._msm_g1(*hq, jnp.asarray(outs[0][0])))
     np.asarray(s0[0])
     log(f"staged msm_h compile+run {time.time()-t:.1f}s")
     a = jc.limbs_to_g1(tuple(np.asarray(c) for c in outs[0][1]))
@@ -126,7 +153,7 @@ if os.environ.get("PROBE_CHECK", "1") == "1":
 prover._msm_h_fixed_inst = fb
 prover._use_h_fixed = True
 t = time.time()
-p = prover.prove(z0, rng_seed=b"probe-warm")
+p = retry("prove_warm", lambda: prover.prove(z0, rng_seed=b"probe-warm"))
 log(f"prove(fixed_h, host-assemble) warm-chain {time.time()-t:.1f}s")
 for i in range(4):
     zi = witness_for(30 + i)

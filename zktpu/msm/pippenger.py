@@ -557,17 +557,19 @@ def scalars_to_signed_digits(scalar_limbs):
     """(N, 16) canonical uint32 16-bit limbs -> (16, N) int32 signed digits
     in [-2^15, 2^15) with k = sum_w d_w 2^(16 w).
 
-    Borrow recode: limbs >= 2^15 emit d - 2^16 and carry 1 into the next
-    window.  The top window absorbs the final carry because Fr scalars are
-    < 2^254 (top limb < 2^14), so no 17th window is ever needed."""
-    c = jnp.zeros(scalar_limbs.shape[:-1], jnp.int32)
-    digs = []
-    for w in range(NLIMBS):
-        t = scalar_limbs[..., w].astype(jnp.int32) + c
-        ge = t >= (1 << (FB_WBITS - 1))
-        digs.append(jnp.where(ge, t - (1 << FB_WBITS), t))
-        c = ge.astype(jnp.int32)
-    return jnp.stack(digs, axis=0)
+    Classic bias recode in ONE carry chain: m = k + 0x8000...8000 (2^15 in
+    every window, 256-bit add via the packed-CLA _carry16 — ~14 wide ops),
+    then d_w = m_w - 2^15.  Identity: k + sum_w 2^15 2^16w = sum_w m_w 2^16w
+    with m_w in [0, 2^16)  =>  k = sum_w (m_w - 2^15) 2^16w.  The 16-round
+    sequential borrow loop this replaces cost ~60 ms of tiny-op overhead on
+    the chip (probe_r5c).  Top window absorbs its carry because Fr scalars
+    are < 2^254 (top limb < 2^14); no carry-out ever leaves limb 15."""
+    from ..field.jnp_field import field
+
+    bias = jnp.uint32(1 << (FB_WBITS - 1))
+    m, carry = field("fr")._carry16(scalar_limbs + bias)
+    # carry-out is 0 for canonical Fr inputs; digits bias back to signed
+    return (m.astype(jnp.int32) - jnp.int32(bias)).T  # (16, N)
 
 
 def _axis_sum_tree(ops, T, axis, add_fn=None):
@@ -628,6 +630,28 @@ def _weighted_suffix_256(ops, T):
     return _weighted_suffix(ops, T, 256)
 
 
+@functools.lru_cache(maxsize=None)
+def _fb_jits(ops_key, tail, ops=None):
+    """Shared jitted stages for FixedBaseMSM (see its __init__ note)."""
+    return {
+        "precompute": jax.jit(
+            functools.partial(FixedBaseMSM._shift_copies, ops=ops)
+        ),
+        "prepare": jax.jit(
+            functools.partial(FixedBaseMSM._prepare_impl, ops=ops)
+        ),
+        "tree": jax.jit(
+            functools.partial(
+                stage_buckets_tree, ops=ops, nbuckets=FB_SIGNED_NBUCKETS,
+                tail=tail, add_fn=jc.point_add_nodbl,
+                add_fn_l1=jc.point_madd_aff,
+            )
+        ),
+        "reduce": jax.jit(functools.partial(FixedBaseMSM._reduce_hier_impl, ops=ops)),
+        "normalize": jax.jit(functools.partial(FixedBaseMSM._normalize_affine, ops=ops)),
+    }
+
+
 class FixedBaseMSM:
     """MSM over a FIXED point set (the Groth16 H query — constant per
     proving key) with SIGNED 16-bit windows.
@@ -678,23 +702,24 @@ class FixedBaseMSM:
         n = points.shape[0]
         assert n & (n - 1) == 0, "pad N to a power of two"
         self.n = n
-        self._precompute = jax.jit(functools.partial(self._shift_copies, ops=ops))
+        # every jitted stage takes its device data as ARGUMENTS (no closure
+        # over _Q), so the jit instances are shared per (ops, tail) across
+        # FixedBaseMSM instances — a second Prover over a same-shape pk
+        # (e.g. the gnark-artifact service next to the native one) reuses
+        # the compiled graphs instead of re-tracing
+        jits = _fb_jits(id(ops), tail, ops)
+        self._precompute = jits["precompute"]
+        self._prepare = jits["prepare"]
+        self._tree = jits["tree"]
+        self._reduce = jits["reduce"]
         QX, QY, QZ = self._precompute(jnp.asarray(points), jnp.asarray(inf_mask))
         cshape = _coord_shape(ops)
-        self._Q = (
+        # _Q = (X (16N,), Ycat (2*16N,) = [Y; -Y], Z (16N,)) affine-normalized
+        self._Q = jits["normalize"](
             QX.reshape((FB_NWINDOWS * n,) + cshape),
             QY.reshape((FB_NWINDOWS * n,) + cshape),
             QZ.reshape((FB_NWINDOWS * n,) + cshape),
         )
-        self._prepare = jax.jit(functools.partial(self._prepare_impl, ops=ops))
-        self._tree = jax.jit(
-            functools.partial(
-                stage_buckets_tree, ops=ops, nbuckets=FB_SIGNED_NBUCKETS,
-                tail=tail, add_fn=jc.point_add_nodbl,
-                add_fn_l1=jc.point_madd_aff,
-            )
-        )
-        self._reduce = jax.jit(functools.partial(self._reduce_hier, ops=ops))
 
     @staticmethod
     def _shift_copies(points, inf_mask, ops):
@@ -726,12 +751,42 @@ class FixedBaseMSM:
         return bufs
 
     @staticmethod
-    def _prepare_impl(QX, QY, QZ, scalar_limbs, ops):
+    def _normalize_affine(QX, QY, QZ, ops):
+        """Jacobian shift copies -> affine-with-Z in {0, 1-mont}.
+
+        _shift_copies' doubling chain leaves windows 1..15 with arbitrary
+        Jacobian Z, which would break the first tree level's affine-add
+        specialization (ROUND-5 BUG found on-chip: the aff kernel assumed
+        Z in {0,1}).  One Montgomery-trick batch inversion at precompute
+        time (~3M muls, once per pk) restores the invariant: x = X/Z^2,
+        y = Y/Z^3, Z = 1; infinity (Z = 0) inverts to 0 and keeps Z = 0."""
+        F = jc.FP_OPS
+        assert not isinstance(ops, jc.Fp2Ops), "H query is G1"
+        zinv = F.batch_inv(QZ)
+        zinv2 = F.mont_mul(zinv, zinv)
+        zinv3 = F.mont_mul(zinv2, zinv)
+        X = F.mont_mul(QX, zinv2)
+        Y = F.mont_mul(QY, zinv3)
+        inf = F.is_zero(QZ)
+        one = jnp.asarray(jc._one_cached(False))
+        Z = jnp.where(
+            inf[..., None], jnp.zeros_like(QZ), jnp.broadcast_to(one, QZ.shape)
+        )
+        # store -Y alongside Y: the signed-digit y-flip then folds into the
+        # prepare gather as an index offset (order + neg*16N) instead of a
+        # full carry-chain negation pass per proof (probe_r5c: ~52 ms for
+        # gather+neg; the neg leg is free this way for +32 MB of HBM)
+        return X, jnp.concatenate([Y, F.neg(Y)], axis=0), Z
+
+    @staticmethod
+    def _prepare_impl(QX, QYcat, QZ, scalar_limbs, ops):
         """(N, 16) canonical 16-bit limbs -> signed-digit recode, then
         sorted flat |digit|/point arrays with the W=1 leading axis the
         merge tree expects.  The window-w digit pairs with Q[w*N + i];
-        negative digits flip the gathered point's y (neg maps the infinity
-        slot's y = 0 to 0, so the mask layout survives)."""
+        negative digits select the PRE-NEGATED y copy via an index offset
+        into QYcat = [Y; -Y] (infinity's y = 0 negates to 0, so the mask
+        layout survives)."""
+        total = QX.shape[0]
         d = scalars_to_signed_digits(scalar_limbs)  # (16, N) int32
         d_flat = jnp.abs(d).astype(jnp.uint32).reshape(-1)  # (16N,)
         neg_flat = (d < 0).reshape(-1)
@@ -739,13 +794,12 @@ class FixedBaseMSM:
         ds = jnp.take(d_flat, order)
         nf = jnp.take(neg_flat, order)
         px = jnp.take(QX, order, axis=0)
-        py = jnp.take(QY, order, axis=0)
+        py = jnp.take(QYcat, order + jnp.where(nf, total, 0), axis=0)
         pz = jnp.take(QZ, order, axis=0)
-        cdim = (1,) * (py.ndim - 1)
-        py = jnp.where(nf.reshape((-1,) + cdim), ops.neg(py), py)
         return ds[None], px[None], py[None], pz[None]
 
-    def _reduce_hier(self, BX, BY, BZ, ops):
+    @staticmethod
+    def _reduce_hier_impl(BX, BY, BZ, ops):
         """(1, 32769, coord) signed buckets -> sum_j j*B_j.
 
         Main block j in [0, 2^15): hierarchical (256, 128) reshape; the
