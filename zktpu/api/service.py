@@ -353,8 +353,8 @@ class GnarkChaChaProverService:
         keybits = self._key_bits(key)
         want = solve_witness(self.r1, pub, keybits)
         got = self._vsolver.solve(pub, keybits)
-        got_mod = np.where(got < 0, got + P_FR, got).astype(object)
-        if [int(v) for v in got_mod] != [int(v) for v in want]:
+        # NB: plain numpy int64 + P_FR overflows C long — reduce in Python
+        if [int(v) % P_FR for v in got] != [int(v) for v in want]:
             raise RuntimeError(
                 "VectorSolver disagrees with the big-int witness oracle"
             )
