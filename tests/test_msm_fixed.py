@@ -77,6 +77,7 @@ def test_signed_digit_recode_roundtrip():
         assert v == s, (j, s, v)
 
 
+@pytest.mark.slow  # first FixedBaseMSM graph compile of the module: ~470 s
 def test_fixed_msm_negation_heavy(fixed_msm):
     """Scalars whose every window recodes NEGATIVE (all limbs >= 2^15)
     exercise the y-flip path end to end."""

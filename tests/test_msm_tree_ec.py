@@ -31,6 +31,8 @@ def _run_tree(P, infm, scalars):
     return jc.limbs_to_g1(res)
 
 
+@pytest.mark.slow  # ~88 s of XLA:CPU compile; the merge tree's fast-tier
+# coverage is test_merge_tree (synthetic segments) + the fixed-MSM suite
 def test_tree_msm_matches_reference(point_set):
     pts, P, infm, rng = point_set
     scalars = [int(s) for s in rng.integers(0, 2**63, len(pts))]

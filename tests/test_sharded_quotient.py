@@ -30,9 +30,10 @@ def _single_chip_quotient(az, bz, cz, domain):
 
 @pytest.mark.parametrize(
     "n",
-    [256, pytest.param(1024, marks=pytest.mark.slow)],  # 1024 costs ~2x the
-    # compile; the mesh/permutation logic is size-independent (fast tier
-    # keeps one real 8-device run, VERDICT r3 item 10)
+    [64, pytest.param(1024, marks=pytest.mark.slow)],  # the mesh/permutation
+    # logic is size-independent; the fast tier keeps one real 8-device run
+    # at the SMALLEST legal size (n = nd^2 = 64, also the n1 == nd edge) —
+    # n=256 cost ~59 s of XLA:CPU compile (round-5 fast-tier diet)
 )
 def test_sharded_quotient_matches_single_chip(n):
     nd = 8
