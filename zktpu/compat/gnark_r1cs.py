@@ -334,6 +334,10 @@ class GnarkR1CS:
     instructions: list  # HintInst | R1CInst | LookupInst, synthesis order
     commitment_info: list  # raw CBOR payload entries (BSB22), [] if none
     lookup_tables: list = dataclasses.field(default_factory=list)  # [[int]]
+    cbor_meta: dict = dataclasses.field(default_factory=dict)  # raw CBOR map
+    lookup_bp_index: dict = dataclasses.field(default_factory=dict)
+    # ^ table_id -> BlueprintID (index into cbor_meta["Blueprints"]); kept so
+    #   gnark_r1cs_write can re-derive the instruction BlueprintID array
 
     @property
     def nb_public_wires(self) -> int:
@@ -508,6 +512,8 @@ def read_r1cs(data: bytes) -> GnarkR1CS:
         instructions=insts,
         commitment_info=comm_payload,
         lookup_tables=tables,
+        cbor_meta=meta_cbor,
+        lookup_bp_index={tid: bidx for bidx, tid in lookup_bp_ids.items()},
     )
 
 
