@@ -253,6 +253,138 @@ def write_r1cs(r1cs: GnarkR1CS, levels: list | None = None) -> bytes:
     return head + lens + body
 
 
+# ------------------------------------------------------ own-circuit export
+
+# gnark v0.11 constants observed in the reference artifacts: the registered
+# hint id/name for std/math/bits.nBits, and the CBOR registry tags for the
+# hint / generic-R1C blueprints and the commitment-info list.
+NBITS_HINT_ID = 4115454955
+NBITS_HINT_NAME = "github.com/consensys/gnark/std/math/bits.nBits"
+_TAG_BP_HINT = 5309735
+_TAG_BP_R1C = 5309736
+_TAG_COMMITMENT = 5309742
+
+
+def _lc_terms(lc: dict, coeff_id) -> list:
+    """LC dict {var: coeff} -> gnark term list [(coeff_id, wire_id)].
+    Constants ride on wire 0 (the reference's own convention: its R1C
+    terms never use the 0xFFFFFFFF constant marker); an empty LC becomes
+    [(0, 0)] — a zero-coefficient term, as gnark serializes zero sides."""
+    if not lc:
+        return [(0, 0)]
+    return [(coeff_id(c), v) for v, c in sorted(lc.items())]
+
+
+def export_gnark_r1cs(builder, public_names, secret_names) -> bytes:
+    """Our Builder -> a gnark v0.11 r1cs binary (keygen.go:324-435 parity).
+
+    Wire order is already gnark's ([1, public, secret, internal]) because
+    the circuits allocate secrets as the first aux block — verified here.
+    Bit decompositions become std/math/bits.nBits hint instructions (from
+    the builder's hint log) so gnark's sequential solver can fill them;
+    every other constraint solves with one unknown in synthesis order.
+    Validated end-to-end in tests/test_gnark_r1cs_writer.py: the exported
+    bytes decode with read_r1cs, solve via the gnark-semantics big-int
+    solver to OUR jitted witness exactly, and re-serialize byte-stably.
+
+    Lookup/commitment circuits (aesV2) are not exportable yet: their
+    countHint/Randomize/Bsb22 instruction stream is a round-6 item."""
+    if builder.tables or builder.committed or builder.challenge_slots:
+        raise GnarkR1CSError(
+            "gnark export of lookup/commitment circuits not implemented"
+        )
+    npub = builder.num_public
+    nsec = len(builder.secret_vars)
+    if len(public_names) != npub or len(secret_names) != nsec:
+        raise GnarkR1CSError("name lists must match declared public/secret vars")
+    if builder.secret_vars != list(range(1 + npub, 1 + npub + nsec)):
+        raise GnarkR1CSError(
+            "secret vars must be the first aux block for gnark wire order"
+        )
+
+    # coefficient table, seeded like gnark's: [0, 1, 2, -1, -2]
+    coeffs = [0, 1, 2, P_FR - 1, P_FR - 2]
+    cid = {c: i for i, c in enumerate(coeffs)}
+
+    def coeff_id(c):
+        c %= P_FR
+        i = cid.get(c)
+        if i is None:
+            i = cid[c] = len(coeffs)
+            coeffs.append(c)
+        return i
+
+    insts = []
+    hints = list(builder.hints)
+    hi = 0
+    for k, (a, b, c) in enumerate(builder.constraints):
+        while hi < len(hints) and hints[hi][0] == k:
+            _, v0, nbits, lc = hints[hi]
+            insts.append(
+                HintInst(
+                    hint_id=NBITS_HINT_ID,
+                    exprs=[_lc_terms(lc, coeff_id)],
+                    out_start=v0,
+                    out_end=v0 + nbits,
+                )
+            )
+            hi += 1
+        insts.append(
+            R1CInst(
+                l=_lc_terms(a, coeff_id),
+                r=_lc_terms(b, coeff_id),
+                o=_lc_terms(c, coeff_id),
+            )
+        )
+    if hi != len(hints):
+        raise GnarkR1CSError("dangling bit-decomposition hints past last constraint")
+
+    n_internal = builder.num_vars - 1 - npub - nsec
+    cbor_meta = {
+        "Logs": None,
+        "Type": 1,
+        "MDebug": {},
+        "Public": ["1"] + list(public_names),
+        "Secret": list(secret_names),
+        "GkrInfo": {
+            "Circuit": None, "MaxNIns": 0, "HashName": "",
+            "NbInstances": 0, "ProveHintID": 0, "SolveHintID": 0,
+        },
+        "DebugInfo": None,
+        "Blueprints": [("tag", _TAG_BP_HINT, {}), ("tag", _TAG_BP_R1C, {})],
+        "ScalarField": f"{P_FR:064x}",
+        "SymbolTable": {"Functions": None, "Locations": None},
+        "GnarkVersion": "0.11.0",
+        "NbConstraints": len(builder.constraints),
+        "CommitmentInfo": ("tag", _TAG_COMMITMENT, []),
+        "MHintsDependencies": {NBITS_HINT_ID: NBITS_HINT_NAME},
+    }
+    from .gnark_r1cs import GnarkR1CSMeta
+
+    meta = GnarkR1CSMeta(
+        gnark_version="0.11.0",
+        scalar_field=P_FR,
+        nb_constraints=len(builder.constraints),
+        nb_internal=n_internal,
+        public_names=cbor_meta["Public"],
+        secret_names=cbor_meta["Secret"],
+        hint_names={NBITS_HINT_ID: NBITS_HINT_NAME},
+        nb_commitments=0,
+        levels_len=0, instructions_len=0, calldata_len=0,
+    )
+    cbor_meta["NbInternalVariables"] = n_internal
+    r1cs = GnarkR1CS(
+        meta=meta,
+        coeffs=coeffs,
+        instructions=insts,
+        commitment_info=[],
+        lookup_tables=[],
+        cbor_meta=cbor_meta,
+        lookup_bp_index={},
+    )
+    return write_r1cs(r1cs)
+
+
 def read_levels(data: bytes) -> list:
     """Decode the levels section of a gnark r1cs binary (test oracle)."""
     s1 = struct.unpack("<Q", data[32:40])[0]

@@ -32,6 +32,18 @@ def generate_chacha20(out_dir: str, seed: bytes | None):
     r1cs_bytes = r1cs_ser.dumps(cs)
     with open(os.path.join(out_dir, "r1cs.chacha20"), "wb") as f:
         f.write(r1cs_bytes)
+    # gnark-consumable constraint system (keygen.go:324-435 writes the cs
+    # via gnark's WriteTo; this is that binary, readable by gnark clients —
+    # format pinned byte-exactly in tests/test_gnark_r1cs_writer.py)
+    from .compat.gnark_r1cs_write import export_gnark_r1cs
+
+    gnark_bytes = export_gnark_r1cs(
+        builder,
+        [f"Public_{i}" for i in range(builder.num_public)],
+        [f"Key_{i}" for i in range(len(builder.secret_vars))],
+    )
+    with open(os.path.join(out_dir, "r1cs.chacha20.gnark"), "wb") as f:
+        f.write(gnark_bytes)
     t0 = time.time()
     pk, vk = g16_setup.setup(cs, seed=seed)
     print(f"chacha20: setup done ({time.time() - t0:.1f}s)")

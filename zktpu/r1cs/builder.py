@@ -127,6 +127,13 @@ class Builder:
         self.committed: set[int] = set()
         self.challenge_slots: list[int] = []
         self.tables: list[LookupTable] = []
+        # gnark-export metadata (compat/gnark_r1cs_write.export_gnark_r1cs):
+        # which aux vars are private INPUTS, and where bit-decomposition
+        # hints sit in the constraint stream (gnark solves bits via the
+        # std/math/bits.nBits hint, not from the binding constraint)
+        self.secret_vars: list[int] = []
+        self.hints: list[tuple[int, int, int, dict]] = []
+        # ^ (constraint index the hint precedes, first bit var, nbits, input lc)
 
     # ------------------------------------------------------------ allocation
     def pub(self, n: int = 1) -> list[int]:
@@ -144,8 +151,14 @@ class Builder:
 
     # private inputs and internal variables are both "aux": what makes a
     # variable a private *input* is only that the witness generator fills it
-    # from request data rather than from computation.
-    secret = aux
+    # from request data rather than from computation.  The ids are recorded
+    # so the gnark exporter can emit them as the Secret section (gnark wire
+    # order [1, public, secret, internal] requires them contiguous there —
+    # checked at export, not here).
+    def secret(self, n: int = 1) -> list[int]:
+        out = self.aux(n)
+        self.secret_vars.extend(out)
+        return out
 
     # ----------------------------------------------------------- constraints
     def constrain(self, a: dict, b: dict, c: dict):
@@ -195,6 +208,7 @@ class Builder:
         Reference analog: bits.ToBinary(api, res, WithNbDigits(33)) in
         chachaV3 round.go:35-39 — nbits booleanity constraints + 1 binding."""
         vs = self.aux(nbits)
+        self.hints.append((len(self.constraints), vs[0], nbits, dict(lc)))
         bits = [lc_var(v) for v in vs]
         for b in bits:
             self.assert_bool(b)
