@@ -400,10 +400,13 @@ def main():
         log(f"SKIP gnark-artifact phase: {remaining():.0f}s left or no reference")
 
     # --- phase 6: vmapped batch throughput (best amortization, hugest
-    # compile: >930s cold.  Every metric is already recorded, so a deadline
-    # mid-compile here costs nothing — gate loosely and let the watchdog
-    # emit the complete JSON if the compile does not fit)
-    if remaining() > 550:
+    # compile: >930s cold, ~half that with the partially-reloading cache.
+    # Every metric is already recorded, so a deadline mid-compile here
+    # costs NOTHING — the watchdog emits the complete JSON.  Gate low on
+    # purpose (round-5 rehearsal had 393s left and skipped at the old
+    # 550s gate; this is the VERDICT-demanded metric while phase 7's
+    # fixed-H is a measured ~parity gamble, so batch8 gets the budget)
+    if remaining() > 300:
         for attempt in (1, 2):
             try:
                 zb = np.stack([np.asarray(zp) for zp in (zpool * bsz)[:bsz]])
@@ -424,11 +427,11 @@ def main():
                 break
             except Exception as e:  # noqa: BLE001 — best-effort
                 log(f"batch prove failed (attempt {attempt}):", repr(e))
-                if remaining() < 550:
+                if remaining() < 300:
                     break
                 time.sleep(10)
     else:
-        log(f"SKIP vmapped batch{bsz}: {remaining():.0f}s left < 550s budget")
+        log(f"SKIP vmapped batch{bsz}: {remaining():.0f}s left < 300s budget")
 
     # --- phase 7: FixedBaseMSM H, tail=4096 (probe_r5d: 151 s compile,
     # ~310 ms/call — roughly staged-H parity on this chip, so it runs LAST
